@@ -1,0 +1,66 @@
+"""Trainer configuration schema.
+
+Parity with the reference's configs/trainer.py:1-41, plus TPU-specific
+extensions (mesh shape, precision policy knobs) that default off so every
+reference YAML parses unchanged.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pydantic import BaseModel
+
+from image2text_tpu.configs.models import VisionEncoderDecoderConfig
+
+
+class TrainerWrapperConfig(BaseModel):
+    moco_momentum: Optional[float] = None  # e.g. 0.995
+    moco_alpha: Optional[float] = None  # e.g. 0.4
+    training_temperature: float = 1.0
+    weight_fn: str = "constant"
+    mask_fraction: float = 0.0  # e.g. 0.15
+    random_mask_fraction: float = 0.0  # e.g. 0.2
+    eos_token_weight: Optional[float] = None
+    add_contrastive_loss: bool = False  # only sensible with tied in/out embeddings
+    training_contrastive_temperature: float = 1.0
+
+
+class OptimizerConfig(BaseModel):
+    lr: float
+    weight_decay: float = 0.0
+    betas: Tuple[float, float] = (0.9, 0.999)
+    target_modules: Optional[List[str]] = None
+
+
+class MeshConfig(BaseModel):
+    """TPU extension: device mesh layout for pjit sharding.
+
+    ``data`` × ``model`` must cover jax.device_count(); -1 on the data axis
+    means "all remaining devices".
+    """
+
+    data: int = -1
+    model: int = 1
+
+
+class TrainingConfig(BaseModel):
+    model: VisionEncoderDecoderConfig
+    disable_flash: bool = False
+    ignore_index: int = -100
+    batch_size: int
+    dataloader_buffer_size: int = 5
+    shuffle: bool = True
+    gradient_accumulation_steps: int = 1
+    epochs: int = 1
+    num_steps: Optional[int] = None
+    num_val_steps: Optional[int] = None
+    precision: str = "no"
+    tokenizer_str: str
+    reset_moco_after_k_epochs: Optional[List[int]] = None
+    trainer: TrainerWrapperConfig
+    optimizers: List[OptimizerConfig]
+    use_snr_optim: bool = False
+    # --- TPU extensions (absent from reference YAMLs; default off) ---
+    mesh: MeshConfig = MeshConfig()
+    seed: int = 0
+    dataset: str = "flickr30k"  # or "synthetic" for offline smoke runs

@@ -1,0 +1,189 @@
+"""Primitive neural-net modules (torch-compatible param names and layouts).
+
+These are the leaves of the model zoo: Linear/Embedding/LayerNorm/Conv2d plus
+a torch-layout MultiheadAttention used for cross-attention.  Matmul-bearing
+forwards cast weights to the activation dtype, so a bf16 compute policy is a
+single cast on the inputs; normalisation statistics always run in fp32.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from image2text_tpu.nn.core import (
+    Ctx,
+    Module,
+    dropout,
+    normal_init,
+    torch_linear_weight_init,
+    xavier_uniform_init,
+    zeros_init,
+    ones_init,
+)
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """GELU with tanh approximation (reference uses GELU(approximate='tanh'))."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+class Linear(Module):
+    """y = x @ W.T + b with torch layout W:(out, in)."""
+
+    def __init__(self, in_features: int, out_features: int, bias: bool = True):
+        super().__init__()
+        self.in_features = in_features
+        self.out_features = out_features
+        self.use_bias = bias
+        self.param("weight", (out_features, in_features),
+                   torch_linear_weight_init(in_features))
+        if bias:
+            self.param("bias", (out_features,), torch_linear_weight_init(in_features))
+
+    def forward(self, p, x, **kwargs):
+        w = p["weight"].astype(x.dtype)
+        y = jax.lax.dot_general(
+            x, w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if self.use_bias:
+            y = y + p["bias"].astype(x.dtype)
+        return y
+
+
+class Embedding(Module):
+    """Token embedding, torch layout (num_embeddings, dim), init N(0, 1)."""
+
+    def __init__(self, num_embeddings: int, dim: int, init_std: float = 1.0):
+        super().__init__()
+        self.num_embeddings = num_embeddings
+        self.dim = dim
+        self.param("weight", (num_embeddings, dim), normal_init(std=init_std))
+
+    def forward(self, p, idx, **kwargs):
+        return jnp.take(p["weight"], idx, axis=0)
+
+
+class LayerNorm(Module):
+    """LayerNorm over the last dim with optional bias (reference layers.py:349)."""
+
+    def __init__(self, ndim: int, bias: bool, eps: float = 1e-5):
+        super().__init__()
+        self.eps = eps
+        self.use_bias = bias
+        self.param("weight", (ndim,), ones_init())
+        if bias:
+            self.param("bias", (ndim,), zeros_init())
+
+    def forward(self, p, x, **kwargs):
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * p["weight"].astype(jnp.float32)
+        if self.use_bias:
+            y = y + p["bias"].astype(jnp.float32)
+        return y.astype(orig_dtype)
+
+
+class LayerNormND(Module):
+    """LayerNorm over the trailing ``len(shape)`` dims (reference layers.py:361)."""
+
+    def __init__(self, shape: Tuple[int, ...], bias: bool, eps: float = 1e-5):
+        super().__init__()
+        self.shape = tuple(shape)
+        self.eps = eps
+        self.use_bias = bias
+        self.param("weight", self.shape, ones_init())
+        if bias:
+            self.param("bias", self.shape, zeros_init())
+
+    def forward(self, p, x, **kwargs):
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - len(self.shape), x.ndim))
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * p["weight"].astype(jnp.float32)
+        if self.use_bias:
+            y = y + p["bias"].astype(jnp.float32)
+        return y.astype(orig_dtype)
+
+
+class Conv2d(Module):
+    """NCHW conv with torch layout W:(out, in, kh, kw) and 'same' padding."""
+
+    def __init__(self, in_channels: int, out_channels: int,
+                 kernel_size: Tuple[int, int], bias: bool = True,
+                 padding: str = "SAME"):
+        super().__init__()
+        self.padding = padding
+        self.use_bias = bias
+        kh, kw = kernel_size
+        fan_in = in_channels * kh * kw
+        self.param("weight", (out_channels, in_channels, kh, kw),
+                   torch_linear_weight_init(fan_in))
+        if bias:
+            self.param("bias", (out_channels,), torch_linear_weight_init(fan_in))
+
+    def forward(self, p, x, **kwargs):
+        w = p["weight"].astype(x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(1, 1),
+            padding=self.padding,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if self.use_bias:
+            y = y + p["bias"].astype(x.dtype)[None, :, None, None]
+        return y
+
+
+class MultiheadAttention(Module):
+    """torch.nn.MultiheadAttention-compatible attention (batch_first).
+
+    Used for the decoder's cross-attention (reference layers.py:537-542):
+    packed in_proj for q/k/v plus out_proj, dropout applied to the attention
+    probabilities at train time.
+    """
+
+    def __init__(self, embed_dim: int, num_heads: int, dropout: float = 0.0):
+        super().__init__()
+        self.embed_dim = embed_dim
+        self.num_heads = num_heads
+        self.head_dim = embed_dim // num_heads
+        self.dropout_rate = dropout
+        self.param("in_proj_weight", (3 * embed_dim, embed_dim), xavier_uniform_init())
+        self.param("in_proj_bias", (3 * embed_dim,), zeros_init())
+        out_proj = Linear(embed_dim, embed_dim, bias=True)
+        self.add("out_proj", out_proj)
+        self.out_proj = out_proj
+
+    def forward(self, p, query, key, value, ctx: Ctx = Ctx(), **kwargs):
+        e = self.embed_dim
+        w = p["in_proj_weight"].astype(query.dtype)
+        b = p["in_proj_bias"].astype(query.dtype)
+        q = query @ w[:e].T + b[:e]
+        k = key @ w[e:2 * e].T + b[e:2 * e]
+        v = value @ w[2 * e:].T + b[2 * e:]
+
+        def split_heads(t):
+            return t.reshape(*t.shape[:-1], self.num_heads, self.head_dim).swapaxes(-3, -2)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        scores = jnp.einsum("...hqd,...hkd->...hqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(self.head_dim)
+        probs = jax.nn.softmax(scores, axis=-1).astype(query.dtype)
+        probs, ctx = dropout(probs, self.dropout_rate, ctx)
+        y = jnp.einsum("...hqk,...hkd->...hqd", probs, v,
+                       preferred_element_type=jnp.float32).astype(query.dtype)
+        y = y.swapaxes(-3, -2).reshape(*query.shape[:-1], e)
+        return self.out_proj(p["out_proj"], y)

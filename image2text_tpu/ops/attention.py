@@ -1,0 +1,77 @@
+"""Scaled-dot-product attention for TPU.
+
+The XLA einsum path is the always-correct baseline (parity with the
+reference's ``disable_flash`` mode, training/utils.py:94); a Pallas flash
+kernel (ops/flash_attention.py) is dispatched for shapes that tile onto the
+MXU when ``use_flash`` is requested.
+
+Masks are additive fp32 biases broadcastable to (b, h, s, l) — the idiomatic
+TPU formulation of the reference's bool/-inf mask gymnastics
+(models/vision_encoder_decoder.py:61-111).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from image2text_tpu.nn.core import Ctx, dropout
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    ctx: Ctx = Ctx(),
+    use_flash: bool = False,
+) -> jax.Array:
+    """Attention with additive mask; q:(b,h,s,d), k/v:(b,hk,l,d), hk ∈ {h, 1}.
+
+    Semantics match torch.nn.functional.scaled_dot_product_attention with a
+    float attn_mask (reference layers.py:424,465): probabilities dropout at
+    train time, softmax in fp32.
+    """
+    if use_flash and dropout_rate == 0.0:
+        from image2text_tpu.ops.flash_attention import flash_attention_compatible
+
+        out = flash_attention_compatible(q, k, v, mask)
+        if out is not None:
+            return out
+
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    # (b, h, s, d) @ (b, hk, d, l) -> (b, h, s, l); batch dims broadcast (MQA).
+    scores = jnp.matmul(q32 * scale, k32.swapaxes(-1, -2),
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if ctx.train and dropout_rate > 0.0:
+        probs, ctx = dropout(probs, dropout_rate, ctx)
+    out = jnp.matmul(probs, v.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def causal_bias(s: int, l: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask of shape (1, 1, s, l): 0 on/below diag, -inf above.
+
+    When s != l the last query row aligns with the last key column (standard
+    decode-window semantics).
+    """
+    row = jnp.arange(s)[:, None] + (l - s)
+    col = jnp.arange(l)[None, :]
+    neg = jnp.asarray(-jnp.inf, dtype)
+    return jnp.where(col <= row, jnp.zeros((), dtype), neg)[None, None]
+
+
+def bool_to_additive(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Convert a boolean keep-mask to a 0/-inf additive bias."""
+    neg = jnp.asarray(-jnp.inf, dtype)
+    return jnp.where(mask, jnp.zeros((), dtype), neg)
