@@ -1,0 +1,207 @@
+"""Causal-LM decoders (reference: models/decoder.py).
+
+* :class:`TransformerDecoder` — nanoGPT-style scratch decoder with optional
+  GPT-2 pretrained initialization (Conv1D-transposed weight surgery), weight
+  tying, alternating cross-attention, advanced positional MLP, MoE/sparse
+  options (decoder.py:161-283).
+* HF decoder family (GPT-2 / Falcon / Llama-2 / Qwen-2) — first-party JAX
+  ports with HF-checkpoint importers, in models/hf_decoder.py.
+
+Weight tying is structural here: ``lm_head`` reads the ``wte`` table, and the
+checkpoint layer materialises the reference's duplicated ``lm_head.weight``
+key (see utils/checkpoint.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from image2text_tpu.configs.models import (
+    HuggingfaceDecoderConfig,
+    MLPConfig,
+    ModelType,
+    TransformerDecoderConfig,
+)
+from image2text_tpu.nn.core import Ctx, Module, ModuleList, dropout, normal_init, zeros_init, _path_key
+from image2text_tpu.nn.modules import Embedding, LayerNorm
+from image2text_tpu.models.layers import AdvancedPositionalBiasMLP, TransformerBlock
+
+
+GPT2_MODEL_TABLE = {
+    ModelType.GPT2: dict(n_layer=12, n_head=12, n_embd=768),           # 124M
+    ModelType.GPT2_MEDIUM: dict(n_layer=24, n_head=16, n_embd=1024),   # 350M
+    ModelType.GPT2_LARGE: dict(n_layer=36, n_head=20, n_embd=1280),    # 774M
+    ModelType.GPT2_XL: dict(n_layer=48, n_head=25, n_embd=1600),       # 1558M
+}
+
+
+def mutate_transformer_config(config, depth: int, skip_alternate_cross_attn: bool):
+    """Disable cross-attention on odd depths (reference models/utils.py:39-43)."""
+    if config.is_cross_attn and skip_alternate_cross_attn and depth % 2:
+        config = config.model_copy(deep=True)
+        config.is_cross_attn = False
+    return config
+
+
+class Decoder(Module):
+    """Base: forward(p, idx|inputs_embeds, cross_attn_embeds, attn_msk) ->
+    (logits, hidden)."""
+
+    @classmethod
+    def from_config(cls, config: Union[TransformerDecoderConfig,
+                                       HuggingfaceDecoderConfig],
+                    loose: bool = False, space_for_prompt: int = 0) -> "Decoder":
+        if isinstance(config, TransformerDecoderConfig):
+            if config.pretrained_model is None:
+                return TransformerDecoder(config, space_for_prompt)
+            args = GPT2_MODEL_TABLE[config.pretrained_model]
+            if not loose:
+                msg = "provided configs do not match the pretrained model"
+                assert config.n_layer == args["n_layer"], msg
+                assert config.transformer_config.attn_config.n_embd == args["n_embd"], msg
+                assert config.transformer_config.attn_config.n_head == args["n_head"], msg
+                assert config.transformer_config.attn_config.bias is True, msg
+                assert config.block_size == 1024, msg
+                assert not config.transformer_config.is_sparse_attn, msg
+                assert config.transformer_config.is_causal is True, msg
+                assert isinstance(config.transformer_config.rotator_config, MLPConfig) \
+                    and config.transformer_config.rotator_config.ff_mult == 4, msg
+            assert config.vocab_size >= 50257, "vocab should not shrink"
+            model = TransformerDecoder(config, space_for_prompt,
+                                       pretrained_model=config.pretrained_model,
+                                       loose=loose)
+            if config.lora_spec is not None:
+                from image2text_tpu.models.lora import apply_lora
+                model = apply_lora(model, config.lora_spec)
+            return model
+        if isinstance(config, HuggingfaceDecoderConfig):
+            from image2text_tpu.models.hf_decoder import hf_decoder_from_config
+            return hf_decoder_from_config(config)
+        raise ValueError("Unknown config type!!!")
+
+    def get_inputs_embeds(self, p, idx):
+        raise NotImplementedError
+
+    @property
+    def block_size(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def n_embd(self) -> int:
+        raise NotImplementedError
+
+
+class TransformerDecoder(Decoder):
+    def __init__(self, config: TransformerDecoderConfig, space_for_prompt: int = 0,
+                 pretrained_model: Optional[ModelType] = None, loose: bool = False):
+        super().__init__()
+        self.config = config
+        self.use_advanced_pos_emb = config.use_advanced_pos_emb
+        self.enable_gradient_checkpointing = config.enable_gradient_checkpointing
+        self.skip_alternate_cross_attn = config.skip_alternate_cross_attn
+        self.pretrained_model = pretrained_model
+        self.loose = loose
+        self.tied_aliases = {"lm_head.weight": "transformer.wte.weight"}
+
+        n_embd = config.transformer_config.attn_config.n_embd
+        transformer = Module()
+        self.wte = transformer.add("wte", Embedding(config.vocab_size, n_embd))
+        if self.use_advanced_pos_emb:
+            self.wpe = transformer.add("wpe", AdvancedPositionalBiasMLP(
+                context_width=config.block_size, in_features=n_embd,
+                out_features=n_embd, gate_sizes=config.advanced_pos_emb_gate_sizes,
+                add_residual_connection=True))
+        else:
+            self.wpe = transformer.add("wpe", Embedding(config.block_size, n_embd))
+        blocks = ModuleList([
+            TransformerBlock(
+                mutate_transformer_config(config.transformer_config, depth,
+                                          config.skip_alternate_cross_attn),
+                depth, space_for_prompt)
+            for depth in range(config.n_layer)
+        ])
+        self.blocks = transformer.add("h", blocks)
+        self.ln_f = transformer.add("ln_f", LayerNorm(
+            n_embd, bias=config.transformer_config.attn_config.bias))
+        self.transformer = self.add("transformer", transformer)
+        self.dropout_rate = config.transformer_config.attn_config.dropout
+
+    # -- init: GPT-2 policy (reference decoder.py:193-212) ------------------
+    def init(self, key, path: str = ""):
+        params = super().init(key, path)
+        specs = self.param_specs()
+        from image2text_tpu.utils.tree import flatten, unflatten
+        flat = flatten(params)
+        n_layer = self.config.n_layer
+        for p, spec in specs.items():
+            subkey = _path_key(key, (f"{path}.{p}" if path else p) + "#gpt2init")
+            if spec.owner == "Linear" and spec.name == "weight":
+                std = 0.02
+                if p.endswith("c_proj.weight"):
+                    std = 0.02 / math.sqrt(2 * n_layer)
+                flat[p] = std * jax.random.normal(subkey, spec.shape, spec.dtype)
+            elif spec.owner == "Linear" and spec.name == "bias":
+                flat[p] = jnp.zeros(spec.shape, spec.dtype)
+            elif spec.owner == "Embedding" and spec.name == "weight":
+                flat[p] = 0.02 * jax.random.normal(subkey, spec.shape, spec.dtype)
+        params = unflatten(flat)
+        if self.pretrained_model is not None:
+            from image2text_tpu.models.hf_import import load_pretrained_gpt2_params
+            params = load_pretrained_gpt2_params(
+                params, self.pretrained_model, self.config.vocab_size, self.loose)
+        return params
+
+    # -- forward -------------------------------------------------------------
+    def forward(self, p, idx=None, inputs_embeds=None, cross_attn_embeds=None,
+                attn_msk=None, ctx: Ctx = Ctx(), use_flash: bool = True, **kwargs):
+        assert not (idx is None and inputs_embeds is None)
+        assert idx is None or inputs_embeds is None
+        if inputs_embeds is None:
+            inputs_embeds = self.wte(p["transformer"]["wte"], idx)
+        t = inputs_embeds.shape[-2]
+        assert t <= self.block_size, (
+            f"Cannot forward sequence of length {t}, block size is only "
+            f"{self.block_size}")
+
+        if self.use_advanced_pos_emb:
+            x = self.wpe(p["transformer"]["wpe"], inputs_embeds, ctx=ctx.fold(1))
+        else:
+            pos_emb = jnp.take(p["transformer"]["wpe"]["weight"], jnp.arange(t), axis=0)
+            x = inputs_embeds + pos_emb.astype(inputs_embeds.dtype)
+        x, ctx = dropout(x, self.dropout_rate, ctx.fold(2))
+
+        for depth, blk in enumerate(self.blocks):
+            if self.skip_alternate_cross_attn:
+                cross_inputs = cross_attn_embeds if depth % 2 == 0 else None
+            else:
+                cross_inputs = cross_attn_embeds
+            bp = p["transformer"]["h"][str(depth)]
+            bctx = ctx.fold(100 + depth)
+            if self.enable_gradient_checkpointing and ctx.train:
+                def run(bp_, x_, ci_, am_, rng_, blk_=blk):
+                    return blk_(bp_, x_, cross_attn_inputs=ci_, attn_mask=am_,
+                                ctx=Ctx(rng=rng_, train=True), use_flash=use_flash)
+                x = jax.checkpoint(run)(bp, x, cross_inputs, attn_msk, bctx.rng)
+            else:
+                x = blk(bp, x, cross_attn_inputs=cross_inputs, attn_mask=attn_msk,
+                        ctx=bctx, use_flash=use_flash)
+        x = self.ln_f(p["transformer"]["ln_f"], x)
+        logits = jax.lax.dot_general(
+            x, p["transformer"]["wte"]["weight"].astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return logits, x
+
+    def get_inputs_embeds(self, p, idx):
+        return self.wte(p["transformer"]["wte"], idx)
+
+    @property
+    def block_size(self) -> int:
+        return self.config.block_size
+
+    @property
+    def n_embd(self) -> int:
+        return self.config.transformer_config.attn_config.n_embd

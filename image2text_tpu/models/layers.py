@@ -489,9 +489,12 @@ class AdvancedPositionalBiasMLP(Module):
         self.layer_ids = mods[0].layer_ids
 
     def forward(self, p, x, ctx: Ctx = Ctx(), **kwargs):
-        # x: (..., P, in) with P == context_width
+        # x: (..., t, in) with t <= context_width; only the first t
+        # per-position MLPs apply (the reference zips models with positions,
+        # layers.py:638)
         pm = p["models"]
-        n_pos = self.context_width
+        n_pos = x.shape[-2]
+        assert n_pos <= self.context_width
         dt = x.dtype
         h = x
         n_layers = len(self.layer_ids)

@@ -1,0 +1,88 @@
+"""First-party LoRA (low-rank adapters).
+
+Replaces the reference's peft LoraModel wrapping (models/utils.py:46-65)
+with in-tree adapter modules: matched Linear layers become
+:class:`LoRALinear` — the frozen base weight keeps its original tree path
+(``...c_attn.weight``) and adapters appear as ``...c_attn.lora_A.weight`` /
+``...lora_B.weight``.  Unlike peft, no extra ``model.`` nesting is added, so
+all reference wildcard patterns keep matching.
+
+Freezing semantics mirror peft: every param in the wrapped subtree is
+excluded from training except the adapters, and
+``force_enable_update_modules`` fnmatch patterns re-enable params
+(reference models/utils.py:60-64).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+
+from image2text_tpu.configs.models import LoraSpec
+from image2text_tpu.nn.core import Ctx, Module, dropout, normal_init, uniform_init, zeros_init
+from image2text_tpu.nn.modules import Linear
+from image2text_tpu.utils.patterns import PatternMatcher
+
+
+class LoRALinear(Linear):
+    """Linear with additive low-rank update: y = Wx + (alpha/r)·B(A·drop(x))."""
+
+    def __init__(self, base: Linear, r: int, lora_alpha: int, lora_dropout: float):
+        super().__init__(base.in_features, base.out_features, bias=base.use_bias)
+        self.r = r
+        self.scaling = lora_alpha / r
+        self.lora_dropout = lora_dropout
+        lora_a = Module()
+        lora_a.param("weight", (r, base.in_features),
+                     uniform_init(1.0 / math.sqrt(base.in_features)))
+        self.add("lora_A", lora_a)
+        lora_b = Module()
+        lora_b.param("weight", (base.out_features, r), zeros_init())
+        self.add("lora_B", lora_b)
+
+    def forward(self, p, x, ctx: Ctx = Ctx(), **kwargs):
+        y = super().forward(p, x)
+        xd, ctx = dropout(x, self.lora_dropout, ctx)
+        a = p["lora_A"]["weight"].astype(x.dtype)
+        b = p["lora_B"]["weight"].astype(x.dtype)
+        return y + (xd @ a.T @ b.T) * self.scaling
+
+
+def _matches_target(path: str, targets) -> bool:
+    import fnmatch
+
+    leaf = path.split(".")[-1]
+    for t in targets:
+        if path.endswith(t) or leaf == t or fnmatch.fnmatch(path, t) \
+                or fnmatch.fnmatch(path, f"*{t}"):
+            return True
+    return False
+
+
+def apply_lora(module: Module, lora_spec: Optional[LoraSpec]) -> Module:
+    """Wrap matched Linear children with adapters and freeze the base."""
+    if lora_spec is None:
+        return module
+
+    def walk(parent: Module, prefix: str):
+        for name, child in list(parent._children.items()):
+            path = f"{prefix}.{name}" if prefix else name
+            if isinstance(child, Linear) and not isinstance(child, LoRALinear) \
+                    and (lora_spec.target_modules is None
+                         or _matches_target(path, lora_spec.target_modules)):
+                wrapped = LoRALinear(child, lora_spec.r, lora_spec.lora_alpha,
+                                     lora_spec.lora_dropout)
+                parent._children[name] = wrapped
+                # keep python attribute references in sync when present
+                for attr, val in list(parent.__dict__.items()):
+                    if val is child:
+                        setattr(parent, attr, wrapped)
+            else:
+                walk(child, path)
+
+    walk(module, "")
+    module._lora_freeze_all = True
+    if lora_spec.force_enable_update_modules is not None:
+        module._force_enable = PatternMatcher(lora_spec.force_enable_update_modules)
+    return module

@@ -1,0 +1,172 @@
+"""Composite vision-encoder → causal-decoder model
+(reference: models/vision_encoder_decoder.py).
+
+Conditioning modes (composable, ≥1 required):
+
+* **soft prompting** — encoder CLS outputs are prepended to the token
+  embeddings; the attention bias reproduces the reference's semantics
+  exactly (vision_encoder_decoder.py:84-111): prefix *queries* attend
+  everywhere (subject to per-block causality), while text queries attend
+  only the text block.  Image information reaches text positions through
+  cross-attention (or, for HF decoders, through their plain-causal mask).
+* **cross attention** — encoder outputs feed the decoder blocks' cross
+  attention (even depths only under ``skip_alternate_cross_attn``).
+
+All masks here are additive fp32 biases with static shapes — the jit-able
+reformulation of the reference's dynamic bool-mask surgery.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from image2text_tpu.configs.models import VisionEncoderDecoderConfig
+from image2text_tpu.nn.core import Ctx, Module
+from image2text_tpu.nn.modules import Linear
+from image2text_tpu.models.decoder import Decoder
+from image2text_tpu.models.encoder import Encoder
+from image2text_tpu.object_models import VisionEncoderDecoderModelOutput
+
+NEG_INF = float("-inf")
+
+
+class _EncoderWithBridge(Module):
+    """nn.Sequential(encoder, Linear) analog — children '0'/'1' keep the
+    reference's checkpoint paths (vision_encoder_decoder.py:33-37)."""
+
+    def __init__(self, encoder: Encoder, bridge: Linear):
+        super().__init__()
+        self.enc = self.add("0", encoder)
+        self.bridge = self.add("1", bridge)
+
+    def forward(self, p, images, ctx: Ctx = Ctx(), **kwargs):
+        return self.bridge(p["1"], self.enc(p["0"], images, ctx=ctx))
+
+
+class VisionEncoderDecoder(Module):
+    """Encoder-decoder model for conditional caption generation."""
+
+    def __init__(self, config: VisionEncoderDecoderConfig,
+                 encoder: Optional[Encoder] = None,
+                 decoder: Optional[Decoder] = None):
+        super().__init__()
+        self.config = config
+        encoder = encoder if encoder is not None \
+            else Encoder.from_config(config.vision_encoder_config)
+        self.space_for_prompt = encoder.num_outputs if config.use_soft_prompting else 0
+        self.decoder = decoder if decoder is not None else Decoder.from_config(
+            config=config.decoder_config,
+            loose=config.loose_match_decoder_state_dict,
+            space_for_prompt=self.space_for_prompt)
+        self.add("decoder", self.decoder)
+        self._inner_encoder = encoder
+        if encoder.output_embed_dim != self.decoder.n_embd:
+            self.encoder = _EncoderWithBridge(
+                encoder, Linear(encoder.output_embed_dim, self.decoder.n_embd,
+                                bias=False))
+        else:
+            self.encoder = encoder
+        self.add("encoder", self.encoder)
+        self.no_repeat_n_grams = tuple(config.no_repeat_n_grams)
+        self.use_cross_attn = config.use_cross_attn
+        self.use_soft_prompting = config.use_soft_prompting
+        if not (self.use_cross_attn or self.use_soft_prompting):
+            raise ValueError(
+                "Misconfigured!!! Need to either use cross attn or soft "
+                "prompting or both")
+        self.chkpt_path = config.chkpt_path
+
+    # -- init with optional partial-checkpoint restore -----------------------
+    def init(self, key, path: str = ""):
+        params = super().init(key, path)
+        if self.chkpt_path is not None:
+            from image2text_tpu.utils.checkpoint import (
+                update_params_from_partial_checkpoint,
+            )
+            params = update_params_from_partial_checkpoint(self, params,
+                                                           self.chkpt_path)
+        return params
+
+    # -- mask construction ----------------------------------------------------
+    @staticmethod
+    def _normalize_mask(attn_msk, bs: int, s: int):
+        """Normalize bool masks of rank 2/3/4 to (bs|1, h|1, s, l) bool,
+        mirroring the reference's einops-repeat normalisation
+        (vision_encoder_decoder.py:61-72)."""
+        if attn_msk is None:
+            return None
+        if attn_msk.ndim == 2:
+            if attn_msk.shape[0] == bs:
+                # (bs, s): per-QUERY validity replicated over keys
+                return attn_msk[:, None, :, None] & jnp.ones((1, 1, 1, attn_msk.shape[1]),
+                                                             bool)
+            return attn_msk[None, None, :, :]
+        if attn_msk.ndim == 3:
+            if attn_msk.shape[0] == bs:
+                return attn_msk[:, None, :, :]
+            return attn_msk[None, :, :, :]
+        return attn_msk
+
+    def forward(self, p, images, ids, attn_msk=None, encoder_output=None,
+                ctx: Ctx = Ctx(), use_flash: bool = True):
+        if encoder_output is None:
+            encoder_output = self.encoder(p["encoder"], images, ctx=ctx.fold(1))
+        bs = encoder_output.shape[0]
+        s = ids.shape[-1]
+        attn_msk = self._normalize_mask(attn_msk, bs, s)
+
+        # decoder is causal; AND with the provided mask
+        causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        msk_bool = causal if attn_msk is None else jnp.logical_and(attn_msk, causal)
+
+        block_size = self.decoder.block_size
+        if self.use_soft_prompting:
+            inputs_embeds = jnp.concatenate(
+                [encoder_output,
+                 self.decoder.get_inputs_embeds(p["decoder"], ids).astype(
+                     encoder_output.dtype)],
+                axis=-2)[..., :block_size, :]
+            ncls = encoder_output.shape[-2]
+            total = ncls + s
+            # additive bias (bs, 1, total, total): -inf default, prefix query
+            # rows fully open, text block carries the causal+provided mask
+            bias = jnp.full((1, 1, total, total), NEG_INF, jnp.float32)
+            bias = bias.at[..., :ncls, :].set(0.0)
+            bias = jnp.broadcast_to(bias, (bs, 1, total, total))
+            text_bias = jnp.where(msk_bool, 0.0, NEG_INF).astype(jnp.float32)
+            text_bias = jnp.broadcast_to(text_bias, (bs, 1, s, s))
+            bias = bias.at[..., ncls:, ncls:].set(text_bias)
+            attn_bias = bias[..., :block_size, :block_size]
+            dec_ids = None
+            offset = ncls
+        else:
+            inputs_embeds = None
+            dec_ids = ids
+            offset = 0
+            attn_bias = jnp.where(msk_bool, 0.0, NEG_INF).astype(jnp.float32)
+
+        cross_attn_values = encoder_output if self.use_cross_attn else None
+        logits, hidden_state = self.decoder(
+            p["decoder"], idx=dec_ids, inputs_embeds=inputs_embeds,
+            cross_attn_embeds=cross_attn_values, attn_msk=attn_bias,
+            ctx=ctx.fold(2), use_flash=use_flash)
+        return VisionEncoderDecoderModelOutput(
+            encoder_output=encoder_output,
+            logits=logits[..., offset:, :],
+            hidden_state=hidden_state,
+        )
+
+    # -- generation -----------------------------------------------------------
+    def generate(self, p, images, prompt_ids, max_new_tokens: int = 128,
+                 temperature: float = 1.0, top_k: Optional[int] = None,
+                 nucleus_p: Optional[float] = None,
+                 rng: Optional[jax.Array] = None):
+        """On-device autoregressive sampling (greedy/top-k/nucleus with
+        no-repeat-ngram processors).  See models/generation.py."""
+        from image2text_tpu.models.generation import generate as _generate
+
+        return _generate(self, p, images, prompt_ids,
+                         max_new_tokens=max_new_tokens, temperature=temperature,
+                         top_k=top_k, nucleus_p=nucleus_p, rng=rng)

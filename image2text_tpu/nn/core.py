@@ -137,6 +137,9 @@ class Module:
         self._params: Dict[str, ParamSpec] = {}
         self._buffers: Dict[str, np.ndarray] = {}
         self._children: Dict[str, "Module"] = {}
+        self._frozen: set = set()          # local param names frozen out of training
+        self._lora_freeze_all: bool = False  # freeze entire subtree except lora_*
+        self._force_enable = None          # PatternMatcher re-enabling frozen paths
 
     # -- declaration -------------------------------------------------------
     def param(self, name: str, shape: Iterable[int], init_fn: Callable,
@@ -181,6 +184,28 @@ class Module:
         out = [f"{path}.{n}" if path else n for n in self._buffers]
         for name, child in self._children.items():
             out.extend(child.buffer_paths(f"{path}.{name}" if path else name))
+        return out
+
+    def freeze(self, *names: str) -> None:
+        self._frozen.update(names)
+
+    def frozen_param_paths(self, path: str = "") -> List[str]:
+        """Flat paths of params excluded from training (torch requires_grad
+        parity: LoRA-frozen bases, etc.).  ``force_enable`` patterns
+        (reference models/utils.py:60-64) re-enable matches."""
+        out: List[str] = []
+        if self._lora_freeze_all:
+            for p in self.param_specs(path):
+                if ".lora_A." not in p and ".lora_B." not in p:
+                    out.append(p)
+        else:
+            for name in self._params:
+                if name in self._frozen:
+                    out.append(f"{path}.{name}" if path else name)
+            for name, child in self._children.items():
+                out.extend(child.frozen_param_paths(f"{path}.{name}" if path else name))
+        if self._force_enable is not None:
+            out = [p for p in out if not self._force_enable.match(p)]
         return out
 
     def module_at(self, path: str) -> "Module":

@@ -51,7 +51,13 @@ def sdpa(
                         preferred_element_type=jnp.float32)
     if mask is not None:
         scores = scores + mask.astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1)
+    # Safe softmax: fully-masked query rows produce zeros rather than NaN,
+    # matching torch's fused SDPA kernels (padding-query rows in the
+    # reference's training masks rely on this guard).
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - jnp.where(jnp.isneginf(m), 0.0, m))
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
     if ctx.train and dropout_rate > 0.0:
         probs, ctx = dropout(probs, dropout_rate, ctx)
     out = jnp.matmul(probs, v.astype(jnp.float32),
