@@ -86,6 +86,13 @@ class Decoder(Module):
         raise NotImplementedError
 
     @property
+    def supports_kv_cache(self) -> bool:
+        return False
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+        raise NotImplementedError(f"{type(self).__name__} has no KV cache")
+
+    @property
     def block_size(self) -> int:
         raise NotImplementedError
 
@@ -156,7 +163,8 @@ class TransformerDecoder(Decoder):
 
     # -- forward -------------------------------------------------------------
     def forward(self, p, idx=None, inputs_embeds=None, cross_attn_embeds=None,
-                attn_msk=None, ctx: Ctx = Ctx(), use_flash: bool = True, **kwargs):
+                attn_msk=None, ctx: Ctx = Ctx(), use_flash: bool = True,
+                kv_cache=None, pos_offset=None, **kwargs):
         assert not (idx is None and inputs_embeds is None)
         assert idx is None or inputs_embeds is None
         if inputs_embeds is None:
@@ -166,10 +174,18 @@ class TransformerDecoder(Decoder):
             f"Cannot forward sequence of length {t}, block size is only "
             f"{self.block_size}")
 
-        if self.use_advanced_pos_emb:
-            x = self.wpe(p["transformer"]["wpe"], inputs_embeds, ctx=ctx.fold(1))
+        if pos_offset is None:
+            positions = jnp.arange(t)
         else:
-            pos_emb = jnp.take(p["transformer"]["wpe"]["weight"], jnp.arange(t), axis=0)
+            positions = pos_offset + jnp.arange(t)
+        if self.use_advanced_pos_emb:
+            if pos_offset is None:
+                x = self.wpe(p["transformer"]["wpe"], inputs_embeds, ctx=ctx.fold(1))
+            else:
+                x = self.wpe.forward_at(p["transformer"]["wpe"], inputs_embeds,
+                                        positions, ctx=ctx.fold(1))
+        else:
+            pos_emb = jnp.take(p["transformer"]["wpe"]["weight"], positions, axis=0)
             x = inputs_embeds + pos_emb.astype(inputs_embeds.dtype)
         x, ctx = dropout(x, self.dropout_rate, ctx.fold(2))
 
@@ -187,7 +203,7 @@ class TransformerDecoder(Decoder):
                 x = jax.checkpoint(run)(bp, x, cross_inputs, attn_msk, bctx.rng)
             else:
                 x = blk(bp, x, cross_attn_inputs=cross_inputs, attn_mask=attn_msk,
-                        ctx=bctx, use_flash=use_flash)
+                        ctx=bctx, use_flash=use_flash, kv_cache=kv_cache)
         x = self.ln_f(p["transformer"]["ln_f"], x)
         logits = jax.lax.dot_general(
             x, p["transformer"]["wte"]["weight"].astype(x.dtype),
@@ -197,6 +213,17 @@ class TransformerDecoder(Decoder):
 
     def get_inputs_embeds(self, p, idx):
         return self.wte(p["transformer"]["wte"], idx)
+
+    # -- KV-cached decoding --------------------------------------------------
+    @property
+    def supports_kv_cache(self) -> bool:
+        return not self.config.transformer_config.is_sparse_attn
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+        from image2text_tpu.models.kv_cache import KVCache
+
+        shapes = [blk.attn.kv_shape(batch, max_len) for blk in self.blocks]
+        return KVCache.create(shapes, dtype)
 
     @property
     def block_size(self) -> int:

@@ -1,0 +1,131 @@
+"""On-device autoregressive generation.
+
+Two jit-able paths, both returning (B, prompt_len + max_new_tokens) ids:
+
+* **KV-cached decode** (the TPU-native design): prefill the prompt once,
+  then a ``lax.fori_loop`` of single-token decoder steps against a
+  preallocated :class:`~image2text_tpu.models.kv_cache.KVCache` — O(T·L)
+  attention instead of the reference's O(T²·L) full re-forwards
+  (reference models/vision_encoder_decoder.py:136-182, which has no KV
+  cache).  Exactness: the reference's window crop never slides (it asserts
+  ``max_new_tokens <= blk_size - prompt_len``), and the soft-prompt prefix
+  is computationally dead for text logits in the scratch decoder (text
+  queries never attend prefix keys — vision_encoder_decoder.py:84-111), so
+  skipping it and offsetting positions by ``space_for_prompt`` reproduces
+  the full forward bit-for-bit (tested).
+* **Full-reforward fallback** for models the cache cannot serve (per-layer
+  random sparse attention): a fixed-size buffer is re-forwarded every step
+  behind the model's own causal masks — the jit-able reformulation of the
+  reference loop, same per-step cost.
+
+Sampling semantics (temperature → no-repeat-ngram → top-k → nucleus →
+multinomial) follow the reference pipeline exactly; see models/sampling.py.
+Temperature <= 0 is an extension meaning greedy argmax.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from image2text_tpu.nn.core import Ctx
+from image2text_tpu.models.kv_cache import CacheRef, KVCache
+from image2text_tpu.models.sampling import no_repeat_ngram_bias, sample_logits
+
+EVAL = Ctx(rng=None, train=False)
+
+
+def decoder_step(model, p, tok_ids: jax.Array, cache: KVCache,
+                 pos_offset, cross: Optional[jax.Array],
+                 use_flash: bool = True):
+    """One cached decoder forward on a (B, t) token chunk.
+
+    Returns (logits (B, t, V), advanced cache)."""
+    ref = CacheRef(cache)
+    logits, _ = model.decoder(
+        p["decoder"], idx=tok_ids, cross_attn_embeds=cross, attn_msk=None,
+        kv_cache=ref, pos_offset=pos_offset, ctx=EVAL, use_flash=use_flash)
+    return logits, ref.advanced()
+
+
+def _sample_step(model, ids_buf, cur_len, last_logits, rng, temperature,
+                 top_k, nucleus_p):
+    vocab = last_logits.shape[-1]
+    bias = no_repeat_ngram_bias(ids_buf, cur_len, vocab,
+                                model.no_repeat_n_grams)
+    logits = last_logits.astype(jnp.float32) + bias
+    if temperature is None or temperature <= 0:
+        return jnp.argmax(logits, axis=-1).astype(ids_buf.dtype)
+    return sample_logits(logits, rng, temperature, top_k,
+                         nucleus_p).astype(ids_buf.dtype)
+
+
+def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
+             temperature: float = 1.0, top_k: Optional[int] = None,
+             nucleus_p: Optional[float] = None,
+             rng: Optional[jax.Array] = None, use_flash: bool = True,
+             force_no_cache: bool = False,
+             encoder_output: Optional[jax.Array] = None) -> jax.Array:
+    """Sample captions; mirrors VisionEncoderDecoder.generate's contract
+    (reference vision_encoder_decoder.py:136-182)."""
+    if prompt_ids.ndim == 1:
+        prompt_ids = prompt_ids[None]
+    t0 = prompt_ids.shape[-1]
+    blk_size = model.decoder.block_size - model.space_for_prompt
+    assert max_new_tokens <= blk_size - t0, (
+        f"max_new_tokens={max_new_tokens} exceeds the decoder window "
+        f"({blk_size} - prompt {t0})")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if encoder_output is None:
+        encoder_output = model.encoder(p["encoder"], images, ctx=EVAL)
+    bs = encoder_output.shape[0]
+    prompt_ids = jnp.broadcast_to(prompt_ids, (bs, t0))
+
+    total = t0 + max_new_tokens
+    ids_buf = jnp.zeros((bs, total), prompt_ids.dtype)
+    ids_buf = jax.lax.dynamic_update_slice_in_dim(ids_buf, prompt_ids, 0, axis=1)
+
+    cross = encoder_output if model.use_cross_attn else None
+
+    if model.decoder.supports_kv_cache and not force_no_cache:
+        off = model.space_for_prompt
+        cache = model.decoder.init_cache(bs, total, encoder_output.dtype)
+        logits, cache = decoder_step(model, p, prompt_ids, cache, off, cross,
+                                     use_flash)
+
+        def body(i, carry):
+            ids_buf, cache, last_logits, rng = carry
+            cur = t0 + i
+            rng, key = jax.random.split(rng)
+            nxt = _sample_step(model, ids_buf, cur, last_logits, key,
+                               temperature, top_k, nucleus_p)
+            ids_buf = jax.lax.dynamic_update_slice(ids_buf, nxt[:, None],
+                                                   (0, cur))
+            logits, cache = decoder_step(model, p, nxt[:, None], cache,
+                                         off + cur, cross, use_flash)
+            return ids_buf, cache, logits[:, -1], rng
+
+        ids_buf, _, _, _ = jax.lax.fori_loop(
+            0, max_new_tokens, body,
+            (ids_buf, cache, logits[:, -1], rng))
+        return ids_buf
+
+    # ---- full-reforward fallback (sparse-attention parity path) ----------
+    def body(i, carry):
+        ids_buf, rng = carry
+        cur = t0 + i
+        out = model(p, images=None, ids=ids_buf,
+                    encoder_output=encoder_output, ctx=EVAL,
+                    use_flash=use_flash)
+        last = jnp.take_along_axis(
+            out.logits, jnp.full((bs, 1, 1), cur - 1), axis=1)[:, 0]
+        rng, key = jax.random.split(rng)
+        nxt = _sample_step(model, ids_buf, cur, last, key, temperature,
+                           top_k, nucleus_p)
+        ids_buf = jax.lax.dynamic_update_slice(ids_buf, nxt[:, None], (0, cur))
+        return ids_buf, rng
+
+    ids_buf, _ = jax.lax.fori_loop(0, max_new_tokens, body, (ids_buf, rng))
+    return ids_buf

@@ -287,6 +287,9 @@ class MultiHeadAttention(SelfAttention):
         self.attn_dropout = config.attn_dropout
         self.resid_dropout = config.dropout
 
+    def kv_shape(self, batch: int, max_len: int):
+        return (batch, self.n_head, max_len, self.n_embd // self.n_head)
+
     def forward(self, p, x, mask=None, ctx: Ctx = Ctx(), use_flash: bool = True,
                 kv_cache=None, **kwargs):
         b, t, c = x.shape
@@ -329,6 +332,9 @@ class MultiQueryAttention(SelfAttention):
         self.n_embd = config.n_embd
         self.attn_dropout = config.attn_dropout
         self.resid_dropout = config.dropout
+
+    def kv_shape(self, batch: int, max_len: int):
+        return (batch, 1, max_len, self.n_embd // self.n_head)
 
     def forward(self, p, x, mask=None, ctx: Ctx = Ctx(), use_flash: bool = True,
                 kv_cache=None, **kwargs):
@@ -423,6 +429,10 @@ class TransformerBlock(Module):
 
     def forward(self, p, x_orig, cross_attn_inputs=None, attn_mask=None,
                 ctx: Ctx = Ctx(), use_flash: bool = True, kv_cache=None, **kwargs):
+        if kv_cache is not None:
+            assert not self.is_sparse, \
+                "KV-cached decode does not support sparse attention; use the " \
+                "full-reforward generation fallback"
         if self.is_sparse:
             t = x_orig.shape[1]
             idx = self.idx_np[self.idx_np < t]
@@ -437,7 +447,9 @@ class TransformerBlock(Module):
             idx = not_idx = None
 
         mask = attn_mask
-        if self.is_causal:
+        if self.is_causal and kv_cache is None:
+            # with a cache the causal-over-global-positions bias comes from
+            # CacheRef.update, which sees the true key length
             cb = causal_bias(x.shape[-2], x.shape[-2])
             mask = cb if mask is None else mask + cb
 
@@ -513,6 +525,40 @@ class AdvancedPositionalBiasMLP(Module):
                                 for i in range(n_pos)]).astype(dt)
                 rb = jnp.stack([pm[str(i)]["residual_connector"]["bias"]
                                 for i in range(n_pos)]).astype(dt)
+                res = jnp.einsum("...pi,poi->...po", x, rw,
+                                 preferred_element_type=jnp.float32).astype(dt) + rb
+            else:
+                res = x
+            h = h + res
+        return h
+
+    def forward_at(self, p, x, positions, ctx: Ctx = Ctx()):
+        """Apply the per-position MLPs for *dynamic* ``positions`` (t,) to
+        x (..., t, in) — the KV-cached decode path, where the token's global
+        position is a traced index rather than its array slot."""
+        pm = p["models"]
+        dt = x.dtype
+        n_layers = len(self.layer_ids)
+        h = x
+        for j, lid in enumerate(self.layer_ids):
+            w = jnp.stack([pm[str(i)]["model"][lid]["weight"]
+                           for i in range(self.context_width)])
+            b = jnp.stack([pm[str(i)]["model"][lid]["bias"]
+                           for i in range(self.context_width)])
+            w = jnp.take(w, positions, axis=0).astype(dt)  # (t, out, in)
+            b = jnp.take(b, positions, axis=0).astype(dt)  # (t, out)
+            h = jnp.einsum("...pi,poi->...po", h, w,
+                           preferred_element_type=jnp.float32).astype(dt) + b
+            if j < n_layers - 1:
+                h = gelu_tanh(h)
+        if self.add_residual:
+            if self.needs_res_proj:
+                rw = jnp.take(jnp.stack(
+                    [pm[str(i)]["residual_connector"]["weight"]
+                     for i in range(self.context_width)]), positions, axis=0).astype(dt)
+                rb = jnp.take(jnp.stack(
+                    [pm[str(i)]["residual_connector"]["bias"]
+                     for i in range(self.context_width)]), positions, axis=0).astype(dt)
                 res = jnp.einsum("...pi,poi->...po", x, rw,
                                  preferred_element_type=jnp.float32).astype(dt) + rb
             else:

@@ -1,0 +1,119 @@
+"""jit-able logits processing and sampling primitives.
+
+Device-side reformulations of the reference's host-side sampling machinery:
+
+* :func:`no_repeat_ngram_bias` — fixed-shape scan equivalent of HF's
+  ``NoRepeatNGramLogitsProcessor`` (reference vision_encoder_decoder.py:40-43,
+  153); bans any token that would complete an n-gram already present in the
+  sequence, for each configured n.
+* :func:`apply_top_k` / :func:`nucleus_sample` / :func:`sample_logits` —
+  the reference generate's temperature → ngram → top-k → nucleus →
+  multinomial pipeline (vision_encoder_decoder.py:151-178) with identical
+  truncation semantics (nucleus keeps the smallest prefix with cumulative
+  probability ≤ max(p, p₀), guaranteeing ≥1 token).
+* :func:`gumbel_topk_sample` — sampling WITHOUT replacement (beam expansion;
+  torch.multinomial(replacement=False) parity, generation_utils.py:78) via
+  the Gumbel-top-k trick.
+
+All functions take a fixed-size id buffer plus a current length so shapes
+stay static under jit.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -jnp.inf
+
+
+def no_repeat_ngram_bias(ids_buf: jax.Array, cur_len: jax.Array,
+                         vocab_size: int,
+                         ngram_sizes: Sequence[int]) -> jax.Array:
+    """Additive bias (B, V): -inf on tokens banned by the n-gram rules.
+
+    ids_buf: (B, L) fixed-size buffer whose first ``cur_len`` entries are the
+    sequence so far.  For each n, a token x is banned when the last (n-1)
+    tokens followed by x already occur as a window ids[j : j+n] with
+    j + n <= cur_len (HF semantics: windows fully inside the sequence).
+    """
+    b, l = ids_buf.shape
+    bias = jnp.zeros((b, vocab_size), jnp.float32)
+    for n in ngram_sizes:
+        if n < 1 or l < n:
+            continue
+        if n == 1:
+            # every seen token is banned
+            seen = jnp.arange(l)[None, :] < cur_len
+            pen = jnp.where(seen, NEG_INF, 0.0)
+            bias = bias.at[jnp.arange(b)[:, None], ids_buf].min(pen)
+            continue
+        # suffix: last n-1 tokens → positions [cur_len-n+1, cur_len-1]
+        suf_pos = cur_len - (n - 1) + jnp.arange(n - 1)          # (n-1,)
+        suffix = jnp.take_along_axis(
+            ids_buf, jnp.broadcast_to(suf_pos[None, :], (b, n - 1)), axis=1)
+        # windows: for each start j, ids[j : j+n-1] vs suffix
+        j = jnp.arange(l)[:, None]                               # (L, 1)
+        i = jnp.arange(n - 1)[None, :]                           # (1, n-1)
+        win_pos = jnp.minimum(j + i, l - 1)                      # (L, n-1)
+        windows = ids_buf[:, win_pos]                            # (B, L, n-1)
+        match = jnp.all(windows == suffix[:, None, :], axis=-1)  # (B, L)
+        valid = (jnp.arange(l) + n) <= cur_len                   # j + n <= cur
+        # HF only bans once the suffix itself exists (cur_len >= n-1 ... and
+        # a full window fits: cur_len >= n)
+        match = match & valid[None, :] & (cur_len >= n)
+        banned = ids_buf[:, jnp.minimum(jnp.arange(l) + (n - 1), l - 1)]  # (B, L)
+        pen = jnp.where(match, NEG_INF, 0.0)
+        bias = bias.at[jnp.arange(b)[:, None], banned].min(pen)
+    return bias
+
+
+def apply_top_k(logits: jax.Array, top_k: Optional[int]) -> jax.Array:
+    """Keep the top-k logits, set the rest to -inf (reference :155-157)."""
+    if top_k is None:
+        return logits
+    k = min(top_k, logits.shape[-1])
+    v = jax.lax.top_k(logits, k)[0]
+    kth = v[..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def nucleus_sample(probs: jax.Array, nucleus_p: float,
+                   rng: jax.Array) -> jax.Array:
+    """Top-p sample ids from probabilities, reference semantics
+    (vision_encoder_decoder.py:160-178): sort desc, keep the prefix with
+    cumulative mass ≤ max(p, p₀), renormalise, multinomial."""
+    sorted_probs, sorted_idx = jax.lax.sort_key_val(
+        -probs, jnp.broadcast_to(jnp.arange(probs.shape[-1]), probs.shape))
+    sorted_probs = -sorted_probs
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    threshold = jnp.maximum(nucleus_p, sorted_probs[..., :1])
+    keep = cum <= threshold
+    trunc = jnp.where(keep, sorted_probs, 0.0)
+    logp = jnp.log(jnp.maximum(trunc, 1e-30)) + jnp.where(keep, 0.0, NEG_INF)
+    choice = jax.random.categorical(rng, logp, axis=-1)
+    return jnp.take_along_axis(sorted_idx, choice[..., None], axis=-1)[..., 0]
+
+
+def sample_logits(logits: jax.Array, rng: jax.Array, temperature: float = 1.0,
+                  top_k: Optional[int] = None,
+                  nucleus_p: Optional[float] = None) -> jax.Array:
+    """The generate() sampling pipeline on final-step logits (B, V)."""
+    logits = logits.astype(jnp.float32) / temperature
+    logits = apply_top_k(logits, top_k)
+    if nucleus_p is not None:
+        probs = jax.nn.softmax(logits, axis=-1)
+        return nucleus_sample(probs, nucleus_p, rng)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+def gumbel_topk_sample(log_probs: jax.Array, k: int,
+                       rng: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Sample k ids without replacement ∝ exp(log_probs) (Gumbel-top-k).
+
+    Returns (ids, gathered log_probs), both (..., k).
+    """
+    g = jax.random.gumbel(rng, log_probs.shape, jnp.float32)
+    _, ids = jax.lax.top_k(log_probs + g, k)
+    return ids, jnp.take_along_axis(log_probs, ids, axis=-1)

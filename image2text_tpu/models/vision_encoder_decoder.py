@@ -162,11 +162,11 @@ class VisionEncoderDecoder(Module):
     def generate(self, p, images, prompt_ids, max_new_tokens: int = 128,
                  temperature: float = 1.0, top_k: Optional[int] = None,
                  nucleus_p: Optional[float] = None,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, **kwargs):
         """On-device autoregressive sampling (greedy/top-k/nucleus with
         no-repeat-ngram processors).  See models/generation.py."""
         from image2text_tpu.models.generation import generate as _generate
 
         return _generate(self, p, images, prompt_ids,
                          max_new_tokens=max_new_tokens, temperature=temperature,
-                         top_k=top_k, nucleus_p=nucleus_p, rng=rng)
+                         top_k=top_k, nucleus_p=nucleus_p, rng=rng, **kwargs)

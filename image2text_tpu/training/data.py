@@ -1,0 +1,200 @@
+"""Data pipeline (reference: trainer.py:68-102, training/utils.py:16-60).
+
+Host-side numpy pipeline feeding device arrays:
+
+* :func:`normalize_label` / :func:`unpack_batch` — HF attention mask →
+  labels with ``ignore_index`` beyond the attended length, keeping exactly
+  one trailing token (the EOS being predicted) via ``<=``
+  (training/utils.py:16-36);
+* :class:`WrapperDataLoader` — unpacks 5 captions/image, 5×-duplicates
+  images, concats captions, random-permutes, re-splits into ``batch_size``
+  chunks (training/utils.py:39-60);
+* :class:`SyntheticFlickrDataset` — offline Flickr30K-shaped data (random
+  images + structured captions) so training/eval/bench run with zero
+  network dependency;
+* :func:`get_flickr30k_dataloader` — the Deep Lake streaming path
+  (train rows [:27000], val [27000:], torchvision-equivalent resize +
+  normalize with the Flickr stats, 5 captions tokenized to max_length=256)
+  — requires network; import-gated.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+FLICKR_MEAN = np.asarray((0.4274, 0.4218, 0.3878), np.float32)
+FLICKR_STD = np.asarray((0.2754, 0.2705, 0.2874), np.float32)
+
+
+def normalize_label(input_ids: np.ndarray, attn_mask: np.ndarray,
+                    ignore_index: int = -100) -> np.ndarray:
+    """Keep attended tokens plus exactly one trailing EOS (the `<=`,
+    reference training/utils.py:16-20); the rest become ignore_index."""
+    to_attd = np.clip(attn_mask.sum(axis=-1), 0,
+                      attn_mask.shape[-1] - 1)[..., None]
+    linear = np.arange(attn_mask.shape[-1])[None, :]
+    keep = linear <= to_attd
+    return np.where(keep, input_ids, ignore_index)
+
+
+def unpack_batch(batch: Dict[str, np.ndarray], ignore_index: int = -100):
+    images = batch["image"]
+    labels = [normalize_label(batch[f"input_ids_{k}"],
+                              batch[f"attn_mask_{k}"], ignore_index)
+              for k in range(5)]
+    return (images, *labels)
+
+
+class WrapperDataLoader:
+    """5-caption expansion + shuffle + rechunk (training/utils.py:39-60)."""
+
+    def __init__(self, dataloader, batch_size: int, ignore_idx: int,
+                 epochs: int, seed: int = 0):
+        self.dataloader = dataloader
+        self.batch_size = batch_size
+        self.ignore_idx = ignore_idx
+        self.epochs = epochs
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return 5 * len(self.dataloader)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        for _ in range(self.epochs):
+            for batch in self.dataloader:
+                images, *labels = unpack_batch(batch, self.ignore_idx)
+                images = np.concatenate([images] * 5, axis=0)
+                lab = np.concatenate(labels, axis=0)
+                perm = self.rng.permutation(images.shape[0])
+                images, lab = images[perm], lab[perm]
+                for i in range(0, images.shape[0], self.batch_size):
+                    yield (images[i:i + self.batch_size],
+                           lab[i:i + self.batch_size])
+
+
+class SyntheticFlickrDataset:
+    """Deterministic Flickr30K-shaped batches for offline runs.
+
+    Captions are drawn from a 64-template token process so the LM loss has
+    learnable structure; attn masks mimic HF padding (ones through the
+    caption, then zeros)."""
+
+    def __init__(self, num_rows: int, batch_size: int, image_size: int = 128,
+                 seq_len: int = 256, vocab_size: int = 1024,
+                 eos_token_id: int = 0, seed: int = 0,
+                 caption_len_range: Tuple[int, int] = (6, 18)):
+        self.num_rows = num_rows
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.seq_len = seq_len
+        self.vocab_size = vocab_size
+        self.eos = eos_token_id
+        self.seed = seed
+        self.caption_len_range = caption_len_range
+        rng = np.random.default_rng(seed + 999)
+        self.templates = rng.integers(
+            1, vocab_size, (64, caption_len_range[1])).astype(np.int64)
+
+    def __len__(self):
+        return max(1, self.num_rows // self.batch_size)
+
+    def _caption(self, rng) -> Tuple[np.ndarray, np.ndarray]:
+        lo, hi = self.caption_len_range
+        n = int(rng.integers(lo, hi))
+        t = self.templates[int(rng.integers(0, len(self.templates)))][:n].copy()
+        # small jitter so captions vary
+        flip = rng.random(n) < 0.1
+        t[flip] = rng.integers(1, self.vocab_size, flip.sum())
+        ids = np.full((self.seq_len,), self.eos, np.int64)
+        ids[:n] = t
+        mask = np.zeros((self.seq_len,), np.int64)
+        mask[:n] = 1
+        return ids, mask
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        for _ in range(len(self)):
+            b = self.batch_size
+            batch = {
+                "image": rng.standard_normal(
+                    (b, 3, self.image_size, self.image_size)).astype(np.float32),
+            }
+            for k in range(5):
+                ids, masks = zip(*(self._caption(rng) for _ in range(b)))
+                batch[f"input_ids_{k}"] = np.stack(ids)
+                batch[f"attn_mask_{k}"] = np.stack(masks)
+            yield batch
+
+
+def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
+    """Minimal host-side bilinear resize (HWC uint8/float → CHW float)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(size) + 0.5) * h / size - 0.5
+    xs = (np.arange(size) + 0.5) * w / size - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    im = img.astype(np.float32)
+    out = (im[y0][:, x0] * (1 - wy) * (1 - wx) + im[y0][:, x1] * (1 - wy) * wx
+           + im[y1][:, x0] * wy * (1 - wx) + im[y1][:, x1] * wy * wx)
+    return out.transpose(2, 0, 1)
+
+
+def preprocess_image(img: np.ndarray, size: int = 128) -> np.ndarray:
+    """ToTensor + Resize + Normalize with Flickr stats (trainer.py:69-72)."""
+    chw = _resize_bilinear(img, size) / 255.0
+    return ((chw - FLICKR_MEAN[:, None, None]) / FLICKR_STD[:, None, None]
+            ).astype(np.float32)
+
+
+def get_flickr30k_dataloader(tokenizer, batch_size: int, shuffle: bool,
+                             is_vit: bool, max_length: int = 256,
+                             train_rows: int = 27000):
+    """Deep Lake streaming path (reference trainer.py:68-102).  Requires the
+    ``deeplake`` package and network access; offline runs use
+    :class:`SyntheticFlickrDataset` (config ``dataset: synthetic``)."""
+    try:
+        from deeplake import load  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "deeplake is not available in this environment; set "
+            "dataset: synthetic in the TrainingConfig") from e
+
+    ds = load("hub://activeloop/flickr30k")
+    tokenizer.pad_token = tokenizer.eos_token
+    size = 224 if is_vit else 128
+
+    def _transform(row):
+        img = np.asarray(row["image"])
+        out = {"image": preprocess_image(img, size)}
+        for k in range(5):
+            tokenized = tokenizer(
+                text=row[f"caption_{k}"][0], max_length=max_length,
+                truncation="longest_first", padding="max_length")
+            out[f"input_ids_{k}"] = np.asarray(tokenized["input_ids"])
+            out[f"attn_mask_{k}"] = np.asarray(tokenized["attention_mask"])
+        return out
+
+    def batcher(rows, seed):
+        def gen():
+            order = np.arange(len(rows))
+            if shuffle:
+                np.random.default_rng(seed).shuffle(order)
+            buf = []
+            for i in order:
+                buf.append(_transform(rows[int(i)]))
+                if len(buf) == batch_size:
+                    yield {k: np.stack([r[k] for r in buf]) for k in buf[0]}
+                    buf = []
+        class _Iterable:
+            def __iter__(self):
+                return gen()
+            def __len__(self):
+                return len(rows) // batch_size
+        return _Iterable()
+
+    return batcher(ds[:train_rows], 0), batcher(ds[train_rows:], 1)

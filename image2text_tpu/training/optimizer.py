@@ -1,0 +1,132 @@
+"""Optimizers: SNRAdam and PatternMatcher-driven multi-group assembly.
+
+* :func:`snr_adam` — optax GradientTransformation reproducing the
+  reference's SNRAdam exactly (models/optimizer.py:7-113), including the
+  ``iter==1`` branch, the use of the *pre-update* first moment for the
+  variance estimate, the *post-update* bias-corrected first moment in the
+  numerator, and decoupled ``p *= 1 − lr·wd`` weight decay.  Rationale: the
+  denominator is the bias-corrected *std-dev* of the gradient, so
+  consistent gradients take larger steps.
+* :func:`build_optimizer` — per-group lr/wd/betas via fnmatch patterns
+  (reference trainer.py:145-172): each OptimizerConfig's ``target_modules``
+  match against parameter paths with the leading component stripped,
+  ``model_m.*`` (EMA teacher) and LoRA-frozen params are never optimized.
+  Assembled with ``optax.multi_transform``; unmatched params get zero
+  updates.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from image2text_tpu.configs.trainer import OptimizerConfig
+from image2text_tpu.utils.patterns import PatternMatcher
+from image2text_tpu.utils.tree import flatten, unflatten
+
+
+def snr_adam(lr: float, betas: Tuple[float, float] = (0.9, 0.999),
+             weight_decay: float = 0.0,
+             eps: float = 1e-8) -> optax.GradientTransformation:
+    b1, b2 = betas
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"iter": jnp.ones((), jnp.int32), "exp_avg": zeros(),
+                "exp_avg_sq": zeros()}
+
+    def update_fn(grads, state, params):
+        it = state["iter"]
+        itf = it.astype(jnp.float32)
+
+        def leaf(g, p, m, v):
+            g = g.astype(jnp.float32)
+            # variance uses the bias-corrected *previous* first moment
+            # (reference optimizer.py:98-102); at iter 1 the correction
+            # divides by zero, hence the dedicated branch
+            d = jnp.where(it == 1, g, g - m / (1.0 - b1 ** (itf - 1.0)))
+            d2 = d * d
+            m_new = b1 * m + (1.0 - b1) * g
+            v_new = b2 * v + (1.0 - b2) * d2
+            step = -lr * (m_new / (1.0 - b1 ** itf)) / (
+                jnp.sqrt(v_new / (1.0 - b2 ** itf)) + eps)
+            if weight_decay != 0.0:
+                step = step - lr * weight_decay * p.astype(jnp.float32)
+            return step.astype(p.dtype), m_new, v_new
+
+        out = jax.tree_util.tree_map(leaf, grads, params, state["exp_avg"],
+                                     state["exp_avg_sq"])
+        flat, treedef = jax.tree_util.tree_flatten(
+            out, is_leaf=lambda x: isinstance(x, tuple))
+        steps = jax.tree_util.tree_unflatten(treedef, [t[0] for t in flat])
+        m = jax.tree_util.tree_unflatten(treedef, [t[1] for t in flat])
+        v = jax.tree_util.tree_unflatten(treedef, [t[2] for t in flat])
+        return steps, {"iter": it + 1, "exp_avg": m, "exp_avg_sq": v}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _strip_head(path: str) -> str:
+    """Reference matches against names with the wrapper prefix removed
+    (trainer.py:150-153: n.split('.', 1)[-1])."""
+    return path.split(".", 1)[-1] if "." in path else path
+
+
+def assign_param_labels(param_paths: Sequence[str],
+                        optim_configs: Sequence[OptimizerConfig],
+                        frozen_paths: Sequence[str] = ()) -> Dict[str, str]:
+    """{path: 'group_i' | 'frozen'} — first matching group wins; teacher and
+    frozen (LoRA-base) params are always 'frozen'."""
+    frozen = set(frozen_paths)
+    matchers = []
+    for i, oc in enumerate(optim_configs):
+        if oc.target_modules is not None:
+            matchers.append(PatternMatcher(oc.target_modules))
+        else:
+            assert len(optim_configs) == 1, \
+                "a catch-all optimizer group must be the only group"
+            matchers.append(None)
+    labels: Dict[str, str] = {}
+    for path in param_paths:
+        if path.startswith("model_m.") or path in frozen:
+            labels[path] = "frozen"
+            continue
+        labels[path] = "frozen"
+        for i, m in enumerate(matchers):
+            if m is None or m.match(_strip_head(path)):
+                labels[path] = f"group_{i}"
+                break
+    return labels
+
+
+def build_optimizer(module, params,
+                    optim_configs: Sequence[OptimizerConfig],
+                    use_snr: bool = False,
+                    extra_frozen: Sequence[str] = ()):
+    """(optax transform, {path: label}) for the wrapper's parameter tree.
+
+    ``module`` is the ModelTrainerWrapper (or any Module) whose
+    ``frozen_param_paths`` encode LoRA/no-grad state; buffers are frozen by
+    construction (they appear in the tree but are not ParamSpecs)."""
+    flat = flatten(params)
+    spec_paths = set(module.param_specs())
+    frozen = list(module.frozen_param_paths()) + list(extra_frozen)
+    frozen += [p for p in flat if p not in spec_paths]  # buffers
+    labels = assign_param_labels(list(flat), optim_configs, frozen)
+
+    transforms = {"frozen": optax.set_to_zero()}
+    for i, oc in enumerate(optim_configs):
+        if use_snr:
+            transforms[f"group_{i}"] = snr_adam(
+                lr=oc.lr, betas=tuple(oc.betas), weight_decay=oc.weight_decay)
+        else:
+            transforms[f"group_{i}"] = optax.adamw(
+                learning_rate=oc.lr, b1=oc.betas[0], b2=oc.betas[1],
+                weight_decay=oc.weight_decay)
+    label_tree = unflatten({k: v for k, v in labels.items()})
+    tx = optax.multi_transform(transforms, label_tree)
+    matchers = [PatternMatcher(oc.target_modules) for oc in optim_configs
+                if oc.target_modules is not None]
+    return tx, labels, matchers

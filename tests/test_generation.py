@@ -1,0 +1,233 @@
+"""Generation-stack tests: KV-cache exactness, sampling-op parity with HF,
+and beam-search semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image2text_tpu.models.generation import decoder_step
+from image2text_tpu.models.generation_utils import BeamSearchTokenGenerator
+from image2text_tpu.models.sampling import (
+    apply_top_k,
+    no_repeat_ngram_bias,
+    nucleus_sample,
+)
+from image2text_tpu.models.vision_encoder_decoder import VisionEncoderDecoder
+from image2text_tpu.nn.core import Ctx
+
+from test_vision_encoder_decoder import tiny_config
+
+KEY = jax.random.PRNGKey(0)
+EVAL = Ctx(rng=None, train=False)
+
+
+def _model_and_inputs(b=2, seed=0, **cfg_kwargs):
+    config = tiny_config(**cfg_kwargs)
+    model = VisionEncoderDecoder(config)
+    params = model.init(KEY)
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.standard_normal((b, 3, 128, 128)), jnp.float32)
+    return model, params, img
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+def test_cached_decode_matches_full_forward():
+    """Incremental cached logits must equal the slice of a full forward."""
+    model, params, img = _model_and_inputs()
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, 1024, (2, 12)))
+    full = model(params, img, ids)
+    enc = full.encoder_output
+    cross = enc if model.use_cross_attn else None
+
+    cache = model.decoder.init_cache(2, 12, jnp.float32)
+    off = model.space_for_prompt
+    # prefill 8, then step 4 single tokens
+    logits_a, cache = decoder_step(model, params, ids[:, :8], cache, off, cross)
+    chunks = [logits_a]
+    for i in range(8, 12):
+        li, cache = decoder_step(model, params, ids[:, i:i + 1], cache,
+                                 off + i, cross)
+        chunks.append(li)
+    cached = jnp.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full.logits),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_generate_cached_equals_fallback():
+    """Greedy + sampled generation agree between the cached path and the
+    full-reforward fallback (both consume identical rng streams)."""
+    model, params, img = _model_and_inputs()
+    prompt = jnp.asarray([[1, 2, 3], [4, 5, 6]])
+    for kwargs in (dict(temperature=0.0),
+                   dict(temperature=0.8, top_k=16, rng=jax.random.PRNGKey(7)),
+                   dict(temperature=0.7, nucleus_p=0.6,
+                        rng=jax.random.PRNGKey(9))):
+        fast = model.generate(params, img, prompt, max_new_tokens=10, **kwargs)
+        slow = model.generate(params, img, prompt, max_new_tokens=10,
+                              force_no_cache=True, **kwargs)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_generate_shape_and_prompt_preserved():
+    model, params, img = _model_and_inputs()
+    prompt = jnp.asarray([[11, 22], [33, 44]])
+    out = model.generate(params, img, prompt, max_new_tokens=6,
+                         temperature=0.9, rng=jax.random.PRNGKey(3))
+    assert out.shape == (2, 8)
+    np.testing.assert_array_equal(np.asarray(out[:, :2]), np.asarray(prompt))
+
+
+def test_generate_sparse_model_uses_fallback():
+    model, params, img = _model_and_inputs(sparse=True, advanced_pos_emb=True,
+                                           block_size=64)
+    assert not model.decoder.supports_kv_cache
+    prompt = jnp.asarray([[1], [2]])
+    out = model.generate(params, img, prompt, max_new_tokens=5,
+                         temperature=0.0)
+    assert out.shape == (2, 6)
+
+
+def test_generate_jit():
+    model, params, img = _model_and_inputs()
+    prompt = jnp.asarray([[1, 2], [3, 4]])
+
+    @jax.jit
+    def gen(p, img, prompt, rng):
+        return model.generate(p, img, prompt, max_new_tokens=4,
+                              temperature=0.8, top_k=8, rng=rng)
+
+    out = gen(params, img, prompt, jax.random.PRNGKey(0))
+    assert out.shape == (2, 6)
+
+
+# ---------------------------------------------------------------------------
+# Sampling ops
+# ---------------------------------------------------------------------------
+
+def test_no_repeat_ngram_matches_hf():
+    """Fixed-shape ngram bias == HF NoRepeatNGramLogitsProcessor on random
+    sequences (the reference relies on the HF implementation,
+    vision_encoder_decoder.py:40-43)."""
+    torch = pytest.importorskip("torch")
+    from transformers import NoRepeatNGramLogitsProcessor
+
+    rng = np.random.default_rng(0)
+    vocab = 13
+    for n in (2, 3, 4):
+        for cur in (5, 9, 16):
+            ids = rng.integers(0, 4, (3, cur))  # small vocab → many repeats
+            buf = np.zeros((3, 20), np.int64)
+            buf[:, :cur] = ids
+            ours = np.asarray(no_repeat_ngram_bias(
+                jnp.asarray(buf), jnp.asarray(cur), vocab, (n,)))
+            proc = NoRepeatNGramLogitsProcessor(ngram_size=n)
+            scores = torch.zeros((3, vocab))
+            theirs = proc(torch.tensor(ids), scores).numpy()
+            np.testing.assert_array_equal(ours == -np.inf, theirs == -np.inf,
+                                          err_msg=f"n={n} cur={cur}")
+
+
+def test_top_k_masking():
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0, 4.0]])
+    out = np.asarray(apply_top_k(logits, 2))
+    assert np.isneginf(out[0, [0, 2, 3]]).all()
+    assert out[0, 1] == 5.0 and out[0, 4] == 4.0
+
+
+def test_nucleus_guarantees_one_token():
+    """A peaked distribution with p below the top prob must still sample the
+    top token (reference's max(p, p0) guard, vision_encoder_decoder.py:166)."""
+    probs = jnp.asarray([[0.9, 0.05, 0.05]])
+    for seed in range(5):
+        tok = np.asarray(nucleus_sample(probs, 0.5, jax.random.PRNGKey(seed)))
+        assert tok[0] == 0
+
+
+def test_nucleus_truncates_tail():
+    probs = jnp.asarray([[0.5, 0.3, 0.15, 0.05]])
+    # threshold 0.6: keep {0} (cum .5), token 1 pushes cum to .8 > .6
+    seen = {int(np.asarray(nucleus_sample(probs, 0.6, jax.random.PRNGKey(s)))[0])
+            for s in range(20)}
+    assert seen == {0}
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+def test_beam_search_shapes_and_scores():
+    model, params, img = _model_and_inputs()
+    gen = BeamSearchTokenGenerator(model, beam_width=3, temperature=1.0,
+                                   top_k=16, max_new_tokens=6,
+                                   beam_expansion_factor=4, eos_token_id=None)
+    prompt = jnp.asarray([[1, 2], [3, 4]])
+    ids, scores = gen(params, img, prompt, rng=jax.random.PRNGKey(0))
+    # total length = max_new_tokens + t0 - 1 (reference :46-47)
+    assert ids.shape == (2, 3, 6 + 2 - 1)
+    assert scores.shape == (2, 3)
+    assert np.isfinite(np.asarray(scores)).all()
+    np.testing.assert_array_equal(np.asarray(ids[:, 0, :2]), np.asarray(prompt))
+
+
+def test_beam_search_greedy_sorted():
+    """temperature<=0 + consolidation_temperature<=0 → deterministic,
+    score-sorted beams."""
+    model, params, img = _model_and_inputs()
+    gen = BeamSearchTokenGenerator(model, beam_width=3, temperature=0.0,
+                                   max_new_tokens=5, beam_expansion_factor=4,
+                                   consolidation_temperature=0.0)
+    prompt = jnp.asarray([[1], [2]])
+    ids, scores = gen(params, img, prompt)
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=-1) <= 1e-5).all()  # sorted desc per sample
+    ids2, scores2 = gen(params, img, prompt)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
+
+
+def test_beam_search_sticky_eos():
+    """Once a beam emits EOS it keeps emitting EOS with 0 added score when
+    continuations score below -length_boost (reference :80-90).  With a huge
+    negative top-1... instead force EOS via an eos-only vocab path: use
+    greedy with eos_token_id equal to the argmax so all beams finish
+    immediately and the loop early-exits."""
+    model, params, img = _model_and_inputs()
+    prompt = jnp.asarray([[1], [2]])
+    # find the greedy first token, then declare it EOS
+    out = model.generate(params, img, prompt, max_new_tokens=1,
+                         temperature=0.0)
+    eos = int(np.asarray(out)[0, -1])
+    gen = BeamSearchTokenGenerator(model, beam_width=2, temperature=0.0,
+                                   max_new_tokens=8, beam_expansion_factor=2,
+                                   consolidation_temperature=0.0,
+                                   eos_token_id=eos, length_boost=1.0)
+    ids, scores = gen(params, img, prompt)
+    arr = np.asarray(ids)
+    # sample 0 beam 0: position 1 is eos; everything after must be eos too
+    row = arr[0, 0]
+    eos_pos = np.argmax(row == eos)
+    assert (row[eos_pos:] == eos).all()
+
+
+def test_beam_search_cached_equals_fallback():
+    """The KV-cached beam loop must match the full-reforward loop in greedy
+    mode (identical candidate sets and scores)."""
+    model, params, img = _model_and_inputs()
+    gen = BeamSearchTokenGenerator(model, beam_width=2, temperature=0.0,
+                                   max_new_tokens=5, beam_expansion_factor=3,
+                                   consolidation_temperature=0.0)
+    prompt = jnp.asarray([[1, 2], [3, 4]])
+    ids_fast, sc_fast = gen(params, img, prompt)
+    cls = model.decoder.__class__
+    orig = cls.supports_kv_cache
+    try:
+        cls.supports_kv_cache = property(lambda self: False)
+        ids_slow, sc_slow = gen(params, img, prompt)
+    finally:
+        cls.supports_kv_cache = orig
+    np.testing.assert_array_equal(np.asarray(ids_fast), np.asarray(ids_slow))
+    np.testing.assert_allclose(np.asarray(sc_fast), np.asarray(sc_slow),
+                               atol=1e-4)
