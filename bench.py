@@ -1,0 +1,95 @@
+"""Benchmark: end-to-end caption generation throughput on the local device.
+
+Prints ONE JSON line:
+    {"metric": "captions_per_sec", "value": N, "unit": "captions/s",
+     "vs_baseline": N, ...}
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
+measured against the driver's north-star target of 5,000 Flickr30K
+captions/sec on a v5e-8 (BASELINE.json), scaled to the number of available
+chips — i.e. the single-chip target is 5000/8 captions/sec.
+
+The benched pipeline is the real serving path: image → encoder → KV-cached
+batched sampling (top-k, temperature, no-repeat-ngram processors) on the
+``tpu/nano-mini.yaml`` flagship architecture with randomly initialised
+weights (quality is benchmarked by training runs, not here).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 128
+MAX_NEW_TOKENS = 32
+PROMPT_LEN = 1
+NORTH_STAR_V5E8 = 5000.0  # captions/sec on 8 chips (BASELINE.json)
+
+
+def main():
+    from __graft_entry__ import _flagship_config
+    from image2text_tpu.models.vision_encoder_decoder import VisionEncoderDecoder
+
+    dev = jax.devices()[0]
+    cfg = _flagship_config(tiny=False)
+    # serving configuration: dense decoder attention so the KV-cached decode
+    # path applies (sparse attention is a training-time FLOPs lever; its
+    # generation parity path re-forwards the full window per token)
+    cfg.model.decoder_config.transformer_config.is_sparse_attn = False
+    model = VisionEncoderDecoder(cfg.model)
+    params = jax.device_put(model.init(jax.random.PRNGKey(0)), dev)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        jnp.asarray(rng.standard_normal((BATCH, 3, 128, 128)), jnp.bfloat16), dev)
+    prompt = jax.device_put(
+        jnp.ones((BATCH, PROMPT_LEN), jnp.int32), dev)
+
+    @jax.jit
+    def gen(params, images, prompt, rng):
+        return model.generate(params, images, prompt,
+                              max_new_tokens=MAX_NEW_TOKENS,
+                              temperature=0.7, top_k=16, rng=rng)
+
+    # compile + warmup
+    out = gen(params, images, prompt, jax.random.PRNGKey(0))
+    out.block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = gen(params, images, prompt, jax.random.PRNGKey(i + 1))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    captions = BATCH * iters
+    caps_per_sec = captions / dt
+    tokens_per_sec = caps_per_sec * MAX_NEW_TOKENS
+    p50_latency_ms = dt / iters * 1000.0  # per-batch latency
+
+    n_chips = max(1, len(jax.devices()))
+    target = NORTH_STAR_V5E8 * n_chips / 8.0
+    print(json.dumps({
+        "metric": "captions_per_sec",
+        "value": round(caps_per_sec, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(caps_per_sec / target, 4),
+        "decode_tokens_per_sec": round(tokens_per_sec, 1),
+        "batch_latency_ms": round(p50_latency_ms, 2),
+        "batch": BATCH,
+        "max_new_tokens": MAX_NEW_TOKENS,
+        "device": str(dev.platform),
+        "n_devices": n_chips,
+        "model": "tpu/nano-mini (12L enc + 12L dec, 1024d, MQA/MoE/sparse)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

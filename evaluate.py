@@ -1,0 +1,107 @@
+"""Offline model evaluation (the TPU equivalent of the reference's
+test-model-performance.ipynb): load a config + checkpoint, stream val rows,
+generate candidate captions per image (sampling or beam search), print them
+against the ground truths, and compute corpus BLEU-4 / CIDEr-D.
+
+    python evaluate.py --config_file training_configs/local/nano-mini.yaml \
+        [--chkpt_file ck.npz] [--num_images 20] [--num_candidates 8] \
+        [--beam_search] [--top_k 16] [--temperature 1.0]
+"""
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from image2text_tpu.configs.trainer import TrainingConfig
+from image2text_tpu.eval.metrics import cider_d, corpus_bleu
+from image2text_tpu.models.generation_utils import BeamSearchTokenGenerator
+from image2text_tpu.models.vision_encoder_decoder import VisionEncoderDecoder
+from image2text_tpu.training.tokenizer import get_tokenizer
+from trainer import build_dataloaders
+
+
+def _strip(ids, eos):
+    out = []
+    for t in ids:
+        if t == eos:
+            break
+        out.append(int(t))
+    return out
+
+
+def main(args):
+    with open(args.config_file) as f:
+        config = TrainingConfig.model_validate(yaml.safe_load(f))
+    if args.chkpt_file:
+        config.model.chkpt_path = args.chkpt_file
+    tokenizer = get_tokenizer(
+        config.tokenizer_str, config.trainer.mask_fraction,
+        synthetic_vocab=config.model.decoder_config.vocab_size)
+    model = VisionEncoderDecoder(config.model)
+    params = model.init(jax.random.PRNGKey(config.seed))
+
+    _, val_dl = build_dataloaders(config, tokenizer)
+    val_iter = iter(val_dl)
+    eos = tokenizer.eos_token_id
+    prompt = jnp.asarray([[tokenizer.bos_token_id]])
+    window = model.decoder.block_size - model.space_for_prompt
+    max_new = min(args.max_new_tokens, window - 1)
+
+    if args.beam_search:
+        gen = BeamSearchTokenGenerator(
+            model, beam_width=args.num_candidates, temperature=args.temperature,
+            top_k=args.top_k, max_new_tokens=max_new, eos_token_id=eos,
+            consolidation_temperature=0.0)
+
+    cands, refs = [], []
+    rng = jax.random.PRNGKey(config.seed + 123)
+    seen = 0
+    while seen < args.num_images:
+        images, labels = next(val_iter)
+        img = jnp.asarray(images[:1])
+        label = np.asarray(labels[0])
+        truth = _strip(label[label != config.ignore_index], eos)
+        rng, k = jax.random.split(rng)
+        if args.beam_search:
+            ids, scores = gen(params, img, prompt, rng=k)
+            best = np.asarray(ids[0, 0, 1:])
+        else:
+            x = jnp.broadcast_to(img, (args.num_candidates, *img.shape[1:]))
+            out = model.generate(params, x, prompt, max_new_tokens=max_new,
+                                 temperature=args.temperature,
+                                 top_k=args.top_k, rng=k)
+            best = np.asarray(out[0, 1:])
+        cand = _strip(best, eos)
+        cands.append(cand)
+        refs.append([truth])
+        if seen < 5:
+            print(f"[{seen}] truth: {tokenizer.decode(truth)}")
+            print(f"[{seen}] gen:   {tokenizer.decode(cand)}")
+        seen += 1
+
+    bleu = corpus_bleu(cands, refs)
+    cider = cider_d(cands, refs)
+    print(f"BLEU-4: {bleu:.4f}  CIDEr-D: {cider:.4f}  "
+          f"({args.num_images} images)")
+
+
+def parse_args(argv=None):
+    p = ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--chkpt_file", default=None)
+    p.add_argument("--num_images", type=int, default=20)
+    p.add_argument("--num_candidates", type=int, default=4)
+    p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=16)
+    p.add_argument("--beam_search", action="store_true")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args(sys.argv[1:]))

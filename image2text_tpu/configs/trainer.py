@@ -64,3 +64,4 @@ class TrainingConfig(BaseModel):
     mesh: MeshConfig = MeshConfig()
     seed: int = 0
     dataset: str = "flickr30k"  # or "synthetic" for offline smoke runs
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir

@@ -38,13 +38,16 @@ EVAL = Ctx(rng=None, train=False)
 
 def decoder_step(model, p, tok_ids: jax.Array, cache: KVCache,
                  pos_offset, cross: Optional[jax.Array],
-                 use_flash: bool = True):
-    """One cached decoder forward on a (B, t) token chunk.
+                 use_flash: bool = True,
+                 inputs_embeds: Optional[jax.Array] = None):
+    """One cached decoder forward on a (B, t) token chunk (or directly on
+    embeddings, for soft-prompt prefill of prefix-causal decoders).
 
     Returns (logits (B, t, V), advanced cache)."""
     ref = CacheRef(cache)
     logits, _ = model.decoder(
-        p["decoder"], idx=tok_ids, cross_attn_embeds=cross, attn_msk=None,
+        p["decoder"], idx=tok_ids, inputs_embeds=inputs_embeds,
+        cross_attn_embeds=cross, attn_msk=None,
         kv_cache=ref, pos_offset=pos_offset, ctx=EVAL, use_flash=use_flash)
     return logits, ref.advanced()
 
@@ -91,9 +94,26 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
 
     if model.decoder.supports_kv_cache and not force_no_cache:
         off = model.space_for_prompt
-        cache = model.decoder.init_cache(bs, total, encoder_output.dtype)
-        logits, cache = decoder_step(model, p, prompt_ids, cache, off, cross,
-                                     use_flash)
+        prefix_in_decode = (getattr(model.decoder, "prefix_in_decode", False)
+                            and model.use_soft_prompting)
+        if prefix_in_decode:
+            # HF decoders are plain-causal: the soft-prompt prefix occupies
+            # real cache slots (reference decoder.py:343-360); prefill runs
+            # on [prefix_embeds; prompt_embeds] at positions 0..
+            cache = model.decoder.init_cache(bs, off + total,
+                                             encoder_output.dtype)
+            embeds = jnp.concatenate(
+                [encoder_output,
+                 model.decoder.get_inputs_embeds(p["decoder"], prompt_ids)
+                 .astype(encoder_output.dtype)], axis=-2)
+            logits, cache = decoder_step(model, p, None, cache, 0, cross,
+                                         use_flash, inputs_embeds=embeds)
+        else:
+            # scratch decoder: the prefix is computationally dead for text
+            # logits (see module docstring); skip it, offset positions
+            cache = model.decoder.init_cache(bs, total, encoder_output.dtype)
+            logits, cache = decoder_step(model, p, prompt_ids, cache, off,
+                                         cross, use_flash)
 
         def body(i, carry):
             ids_buf, cache, last_logits, rng = carry

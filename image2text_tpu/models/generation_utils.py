@@ -134,12 +134,24 @@ class BeamSearchTokenGenerator:
         use_cache = model.decoder.supports_kv_cache
         off = model.space_for_prompt
 
+        prefix_in_decode = (getattr(model.decoder, "prefix_in_decode", False)
+                            and model.use_soft_prompting)
         if use_cache:
-            cache = model.decoder.init_cache(bw * bs, total,
-                                             encoder_output.dtype)
-            logits, cache = decoder_step(
-                model, p, ids.reshape(bw * bs, t0), cache, off, cross,
-                use_flash)
+            if prefix_in_decode:
+                cache = model.decoder.init_cache(bw * bs, off + total,
+                                                 encoder_output.dtype)
+                embeds = jnp.concatenate(
+                    [x, model.decoder.get_inputs_embeds(
+                        p["decoder"], ids.reshape(bw * bs, t0)).astype(x.dtype)],
+                    axis=-2)
+                logits, cache = decoder_step(model, p, None, cache, 0, cross,
+                                             use_flash, inputs_embeds=embeds)
+            else:
+                cache = model.decoder.init_cache(bw * bs, total,
+                                                 encoder_output.dtype)
+                logits, cache = decoder_step(
+                    model, p, ids.reshape(bw * bs, t0), cache, off, cross,
+                    use_flash)
             last_logits = logits[:, -1]
         else:
             cache = None

@@ -291,7 +291,7 @@ class MultiHeadAttention(SelfAttention):
         return (batch, self.n_head, max_len, self.n_embd // self.n_head)
 
     def forward(self, p, x, mask=None, ctx: Ctx = Ctx(), use_flash: bool = True,
-                kv_cache=None, **kwargs):
+                kv_cache=None, causal: bool = False, **kwargs):
         b, t, c = x.shape
         hd = c // self.n_head
         qkv = self.c_attn(p["c_attn"], x)
@@ -309,7 +309,7 @@ class MultiHeadAttention(SelfAttention):
 
         y = sdpa(q, k, v, mask=mask,
                  dropout_rate=self.resid_dropout if ctx.train else 0.0,
-                 ctx=ctx.fold(3), use_flash=use_flash)
+                 ctx=ctx.fold(3), use_flash=use_flash, causal=causal)
         y = y.transpose(0, 2, 1, 3).reshape(b, q.shape[2], c)
         y = self.c_proj(p["c_proj"], y)
         y, ctx = dropout(y, self.resid_dropout, ctx.fold(4))
@@ -337,7 +337,7 @@ class MultiQueryAttention(SelfAttention):
         return (batch, 1, max_len, self.n_embd // self.n_head)
 
     def forward(self, p, x, mask=None, ctx: Ctx = Ctx(), use_flash: bool = True,
-                kv_cache=None, **kwargs):
+                kv_cache=None, causal: bool = False, **kwargs):
         b, t, c = x.shape
         hd = c // self.n_head
         q = self.q_proj(p["q_proj"], x)
@@ -354,7 +354,7 @@ class MultiQueryAttention(SelfAttention):
 
         y = sdpa(q, k, v, mask=mask,
                  dropout_rate=self.resid_dropout if ctx.train else 0.0,
-                 ctx=ctx.fold(3), use_flash=use_flash)
+                 ctx=ctx.fold(3), use_flash=use_flash, causal=causal)
         y = y.transpose(0, 2, 1, 3).reshape(b, q.shape[2], c)
         y = self.out_proj(p["out_proj"], y)
         y, ctx = dropout(y, self.resid_dropout, ctx.fold(4))
@@ -446,15 +446,13 @@ class TransformerBlock(Module):
             x = x_orig
             idx = not_idx = None
 
-        mask = attn_mask
-        if self.is_causal and kv_cache is None:
-            # with a cache the causal-over-global-positions bias comes from
-            # CacheRef.update, which sees the true key length
-            cb = causal_bias(x.shape[-2], x.shape[-2])
-            mask = cb if mask is None else mask + cb
-
-        x = x + self.attn(p["attn"], self.ln_1(p["ln_1"], x), mask=mask,
-                          ctx=ctx.fold(1), use_flash=use_flash, kv_cache=kv_cache)
+        # with a cache the causal-over-global-positions bias comes from
+        # CacheRef.update, which sees the true key length; otherwise the
+        # causal intent flows to sdpa as a flag (in-kernel mask for flash)
+        causal = self.is_causal and kv_cache is None
+        x = x + self.attn(p["attn"], self.ln_1(p["ln_1"], x), mask=attn_mask,
+                          ctx=ctx.fold(1), use_flash=use_flash,
+                          kv_cache=kv_cache, causal=causal)
         if cross_attn_inputs is not None:
             if not self.is_cross_attn:
                 raise ValueError("Model not configured for cross attn inputs!!!")

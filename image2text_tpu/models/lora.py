@@ -25,20 +25,20 @@ from image2text_tpu.nn.modules import Linear
 from image2text_tpu.utils.patterns import PatternMatcher
 
 
-class LoRALinear(Linear):
-    """Linear with additive low-rank update: y = Wx + (alpha/r)·B(A·drop(x))."""
+class _LoRAMixin:
+    """Adds adapters on top of any Linear-like base class: the base weight
+    keeps its tree path; adapters appear as lora_A/lora_B children."""
 
-    def __init__(self, base: Linear, r: int, lora_alpha: int, lora_dropout: float):
-        super().__init__(base.in_features, base.out_features, bias=base.use_bias)
+    def _init_lora(self, r: int, lora_alpha: int, lora_dropout: float):
         self.r = r
         self.scaling = lora_alpha / r
         self.lora_dropout = lora_dropout
         lora_a = Module()
-        lora_a.param("weight", (r, base.in_features),
-                     uniform_init(1.0 / math.sqrt(base.in_features)))
+        lora_a.param("weight", (r, self.in_features),
+                     uniform_init(1.0 / math.sqrt(self.in_features)))
         self.add("lora_A", lora_a)
         lora_b = Module()
-        lora_b.param("weight", (base.out_features, r), zeros_init())
+        lora_b.param("weight", (self.out_features, r), zeros_init())
         self.add("lora_B", lora_b)
 
     def forward(self, p, x, ctx: Ctx = Ctx(), **kwargs):
@@ -47,6 +47,31 @@ class LoRALinear(Linear):
         a = p["lora_A"]["weight"].astype(x.dtype)
         b = p["lora_B"]["weight"].astype(x.dtype)
         return y + (xd @ a.T @ b.T) * self.scaling
+
+
+class LoRALinear(_LoRAMixin, Linear):
+    """Linear with additive low-rank update: y = Wx + (alpha/r)·B(A·drop(x))."""
+
+    def __init__(self, base: Linear, r: int, lora_alpha: int, lora_dropout: float):
+        Linear.__init__(self, base.in_features, base.out_features,
+                        bias=base.use_bias)
+        self._init_lora(r, lora_alpha, lora_dropout)
+
+
+def make_lora_wrapper(base, r: int, lora_alpha: int, lora_dropout: float):
+    """Wrap any Linear subclass instance (incl. QuantizedLinear) with LoRA,
+    preserving its class-specific params (e.g. int4 weight + scales)."""
+    from image2text_tpu.models.quantization import QuantizedLinear
+
+    if type(base) is QuantizedLinear:
+        class LoRAQuantizedLinear(_LoRAMixin, QuantizedLinear):
+            pass
+
+        w = LoRAQuantizedLinear(base.in_features, base.out_features,
+                                bias=base.use_bias)
+        w._init_lora(r, lora_alpha, lora_dropout)
+        return w
+    return LoRALinear(base, r, lora_alpha, lora_dropout)
 
 
 def _matches_target(path: str, targets) -> bool:
@@ -68,11 +93,12 @@ def apply_lora(module: Module, lora_spec: Optional[LoraSpec]) -> Module:
     def walk(parent: Module, prefix: str):
         for name, child in list(parent._children.items()):
             path = f"{prefix}.{name}" if prefix else name
-            if isinstance(child, Linear) and not isinstance(child, LoRALinear) \
+            if isinstance(child, Linear) and not isinstance(child, _LoRAMixin) \
                     and (lora_spec.target_modules is None
                          or _matches_target(path, lora_spec.target_modules)):
-                wrapped = LoRALinear(child, lora_spec.r, lora_spec.lora_alpha,
-                                     lora_spec.lora_dropout)
+                wrapped = make_lora_wrapper(child, lora_spec.r,
+                                            lora_spec.lora_alpha,
+                                            lora_spec.lora_dropout)
                 parent._children[name] = wrapped
                 # keep python attribute references in sync when present
                 for attr, val in list(parent.__dict__.items()):

@@ -1,0 +1,157 @@
+"""Blockwise int4 quantization for frozen decoder weights.
+
+TPU-native replacement for the reference's bitsandbytes NF4 path
+(models/decoder.py:292-300, configs ``load_in_4bit`` /
+``prepare_for_kbit_training``): bitsandbytes' CUDA dequant kernels have no
+TPU analog, so frozen weights are stored as blockwise absmax int4 values
+(held in an int8 tensor, range [-7, 7]) with fp32 per-block scales and
+dequantised inside the matmul.  XLA fuses the dequant into the dot; a
+Pallas fused dequant-matmul is a later optimisation.
+
+Quantized weights are frozen by construction (they are integer params the
+optimizer must never touch); training happens through LoRA adapters on
+top, matching the kbit-training recipe.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image2text_tpu.nn.core import Ctx, Module, zeros_init
+from image2text_tpu.nn.modules import Linear
+from image2text_tpu.utils.tree import flatten, unflatten
+
+QBLOCK = 64
+QMAX = 7.0  # symmetric int4
+
+
+def quantize_blockwise(w: np.ndarray, block: int = QBLOCK):
+    """(out, in) float → int8 values in [-7,7] + fp32 scales (out, in/block)."""
+    out_f, in_f = w.shape
+    pad = (-in_f) % block
+    wp = np.pad(w.astype(np.float32), ((0, 0), (0, pad)))
+    blocks = wp.reshape(out_f, -1, block)
+    absmax = np.abs(blocks).max(axis=-1, keepdims=True)
+    scales = (absmax / QMAX).astype(np.float32)
+    q = np.round(blocks / np.maximum(scales, 1e-12)).astype(np.int8)
+    return q.reshape(out_f, -1), scales[..., 0]
+
+
+def dequantize_blockwise(q: jax.Array, scales: jax.Array, in_features: int,
+                         dtype=jnp.float32) -> jax.Array:
+    out_f = q.shape[0]
+    blocks = q.reshape(out_f, -1, QBLOCK).astype(dtype)
+    w = blocks * scales[..., None].astype(dtype)
+    return w.reshape(out_f, -1)[:, :in_features]
+
+
+class QuantizedLinear(Linear):
+    """Linear with blockwise-int4 frozen weight (bias stays fp32)."""
+
+    def __init__(self, in_features: int, out_features: int, bias: bool = True,
+                 block: int = QBLOCK):
+        Module.__init__(self)
+        self.in_features = in_features
+        self.out_features = out_features
+        self.use_bias = bias
+        in_pad = (in_features + block - 1) // block * block
+        self.param("weight", (out_features, in_pad),
+                   lambda key, shape, dtype: jnp.zeros(shape, jnp.int8),
+                   dtype=jnp.int8)
+        self.param("weight_scales", (out_features, in_pad // block),
+                   zeros_init())
+        if bias:
+            self.param("bias", (out_features,), zeros_init())
+        self.freeze("weight", "weight_scales")
+
+    def forward(self, p, x, ctx: Ctx = Ctx(), **kwargs):
+        w = dequantize_blockwise(p["weight"], p["weight_scales"],
+                                 self.in_features, x.dtype)
+        y = jax.lax.dot_general(
+            x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_bias:
+            y = y + p["bias"].astype(x.dtype)
+        return y
+
+
+def quantize_module_structure(module: Module,
+                              skip_paths: Iterable[str] = ()) -> None:
+    """Swap every plain Linear in the subtree for QuantizedLinear (structure
+    only, before init; run BEFORE apply_lora so adapters wrap the quantized
+    base).  Embeddings/layernorms/lm_head are not Linear children and are
+    untouched."""
+    skip = tuple(skip_paths)
+
+    def walk(parent: Module, prefix: str):
+        for name, child in list(parent._children.items()):
+            path = f"{prefix}.{name}" if prefix else name
+            if any(s in path for s in skip):
+                continue
+            if type(child) is Linear:
+                qlin = QuantizedLinear(child.in_features, child.out_features,
+                                       bias=child.use_bias)
+                parent._children[name] = qlin
+                for attr, val in list(parent.__dict__.items()):
+                    if val is child:
+                        setattr(parent, attr, qlin)
+            else:
+                walk(child, path)
+
+    walk(module, "")
+
+
+def assign_imported(flat: Dict, key: str, value: np.ndarray) -> bool:
+    """Assign an imported float tensor into ``flat[key]``, quantizing on the
+    fly when the destination is an int4 weight (the HF checkpoint stores fp;
+    bitsandbytes parity).  Returns False on unhandled shape mismatch."""
+    dst = flat[key]
+    value = np.asarray(value)
+    if dst.dtype == jnp.int8 and key.endswith("weight"):
+        q, s = quantize_blockwise(value)
+        if q.shape != dst.shape:
+            return False
+        flat[key] = jnp.asarray(q)
+        flat[key[: -len("weight")] + "weight_scales"] = jnp.asarray(s)
+        return True
+    if tuple(dst.shape) == tuple(value.shape):
+        flat[key] = jnp.asarray(value)
+        return True
+    return False
+
+
+def apply_quantization(module: Module, params: Dict,
+                       skip_paths: Iterable[str] = ()) -> Dict:
+    """Post-hoc variant: swap structure AND quantize existing float params
+    (used when weights are already materialised)."""
+    skip = set(skip_paths)
+    flat = flatten(params)
+
+    def walk(parent: Module, prefix: str):
+        from image2text_tpu.models.lora import _LoRAMixin
+
+        for name, child in list(parent._children.items()):
+            path = f"{prefix}.{name}" if prefix else name
+            if path in skip:
+                continue
+            if isinstance(child, _LoRAMixin):
+                continue
+            if type(child) is Linear:
+                qlin = QuantizedLinear(child.in_features, child.out_features,
+                                       bias=child.use_bias)
+                parent._children[name] = qlin
+                for attr, val in list(parent.__dict__.items()):
+                    if val is child:
+                        setattr(parent, attr, qlin)
+                w = np.asarray(flat.pop(f"{path}.weight"))
+                q, s = quantize_blockwise(w)
+                flat[f"{path}.weight"] = jnp.asarray(q)
+                flat[f"{path}.weight_scales"] = jnp.asarray(s)
+            else:
+                walk(child, path)
+
+    walk(module, "")
+    return unflatten(flat)

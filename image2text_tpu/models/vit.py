@@ -111,8 +111,7 @@ class VisionTransformerB16(Module):
         w = p["conv_proj"]["weight"].astype(images.dtype)
         x = jax.lax.conv_general_dilated(
             images, w, window_strides=(self.patch_size, self.patch_size),
-            padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32).astype(images.dtype)
+            padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))
         x = x + p["conv_proj"]["bias"].astype(images.dtype)[None, :, None, None]
         x = x.reshape(b, self.hidden_dim, -1).transpose(0, 2, 1)  # (b, hw, d)
         cls = jnp.broadcast_to(p["class_token"].astype(x.dtype),

@@ -134,13 +134,15 @@ class Conv2d(Module):
 
     def forward(self, p, x, **kwargs):
         w = p["weight"].astype(x.dtype)
+        # no preferred_element_type: the conv transpose (VJP) rule rejects
+        # mixed dtypes it induces; XLA's TPU conv accumulates fp32 in the
+        # MXU regardless of a bf16 output dtype
         y = jax.lax.conv_general_dilated(
             x, w,
             window_strides=(1, 1),
             padding=self.padding,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
         if self.use_bias:
             y = y + p["bias"].astype(x.dtype)[None, :, None, None]
         return y

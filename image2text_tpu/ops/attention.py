@@ -28,19 +28,26 @@ def sdpa(
     dropout_rate: float = 0.0,
     ctx: Ctx = Ctx(),
     use_flash: bool = False,
+    causal: bool = False,
 ) -> jax.Array:
     """Attention with additive mask; q:(b,h,s,d), k/v:(b,hk,l,d), hk ∈ {h, 1}.
 
     Semantics match torch.nn.functional.scaled_dot_product_attention with a
     float attn_mask (reference layers.py:424,465): probabilities dropout at
-    train time, softmax in fp32.
+    train time, softmax in fp32.  ``causal=True`` adds the decode-window
+    causal bias — as an intent flag it lets the flash kernel apply the mask
+    in-kernel instead of streaming an O(s²) bias array.
     """
     if use_flash and dropout_rate == 0.0:
         from image2text_tpu.ops.flash_attention import flash_attention_compatible
 
-        out = flash_attention_compatible(q, k, v, mask)
+        out = flash_attention_compatible(q, k, v, mask, causal)
         if out is not None:
             return out
+
+    if causal:
+        cb = causal_bias(q.shape[-2], k.shape[-2])
+        mask = cb if mask is None else mask + cb
 
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
@@ -57,7 +64,11 @@ def sdpa(
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - jnp.where(jnp.isneginf(m), 0.0, m))
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
+    # Floor must be large enough that floor**2 does not underflow: the
+    # division VJP computes -g*x/y^2, and a denormal floor makes it 0/0=NaN
+    # for fully-masked rows.  Any row with >=1 unmasked key has denom >= 1,
+    # so 1e-9 never changes real probabilities.
+    probs = e / jnp.maximum(denom, 1e-9)
     if ctx.train and dropout_rate > 0.0:
         probs, ctx = dropout(probs, dropout_rate, ctx)
     out = jnp.matmul(probs, v.astype(jnp.float32),

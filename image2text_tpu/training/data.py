@@ -145,7 +145,14 @@ def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
 
 
 def preprocess_image(img: np.ndarray, size: int = 128) -> np.ndarray:
-    """ToTensor + Resize + Normalize with Flickr stats (trainer.py:69-72)."""
+    """ToTensor + Resize + Normalize with Flickr stats (trainer.py:69-72).
+
+    Routes through the C++/OpenMP core (native/preproc.cc) when built."""
+    if img.dtype == np.uint8 and img.ndim == 3:
+        from image2text_tpu.native import resize_normalize_batch
+
+        return resize_normalize_batch(img[None], size, FLICKR_MEAN,
+                                      FLICKR_STD)[0]
     chw = _resize_bilinear(img, size) / 255.0
     return ((chw - FLICKR_MEAN[:, None, None]) / FLICKR_STD[:, None, None]
             ).astype(np.float32)

@@ -40,29 +40,29 @@ def snr_adam(lr: float, betas: Tuple[float, float] = (0.9, 0.999),
     def update_fn(grads, state, params):
         it = state["iter"]
         itf = it.astype(jnp.float32)
+        tm = jax.tree_util.tree_map
 
-        def leaf(g, p, m, v):
+        # variance uses the bias-corrected *previous* first moment
+        # (reference optimizer.py:98-102); at iter 1 the correction divides
+        # by zero, hence the dedicated branch
+        def new_v(g, m, v):
             g = g.astype(jnp.float32)
-            # variance uses the bias-corrected *previous* first moment
-            # (reference optimizer.py:98-102); at iter 1 the correction
-            # divides by zero, hence the dedicated branch
             d = jnp.where(it == 1, g, g - m / (1.0 - b1 ** (itf - 1.0)))
-            d2 = d * d
-            m_new = b1 * m + (1.0 - b1) * g
-            v_new = b2 * v + (1.0 - b2) * d2
-            step = -lr * (m_new / (1.0 - b1 ** itf)) / (
-                jnp.sqrt(v_new / (1.0 - b2 ** itf)) + eps)
-            if weight_decay != 0.0:
-                step = step - lr * weight_decay * p.astype(jnp.float32)
-            return step.astype(p.dtype), m_new, v_new
+            return b2 * v + (1.0 - b2) * d * d
 
-        out = jax.tree_util.tree_map(leaf, grads, params, state["exp_avg"],
-                                     state["exp_avg_sq"])
-        flat, treedef = jax.tree_util.tree_flatten(
-            out, is_leaf=lambda x: isinstance(x, tuple))
-        steps = jax.tree_util.tree_unflatten(treedef, [t[0] for t in flat])
-        m = jax.tree_util.tree_unflatten(treedef, [t[1] for t in flat])
-        v = jax.tree_util.tree_unflatten(treedef, [t[2] for t in flat])
+        def new_m(g, m):
+            return b1 * m + (1.0 - b1) * g.astype(jnp.float32)
+
+        def step(g, p, m2, v2):
+            s = -lr * (m2 / (1.0 - b1 ** itf)) / (
+                jnp.sqrt(v2 / (1.0 - b2 ** itf)) + eps)
+            if weight_decay != 0.0:
+                s = s - lr * weight_decay * p.astype(jnp.float32)
+            return s.astype(p.dtype)
+
+        v = tm(new_v, grads, state["exp_avg"], state["exp_avg_sq"])
+        m = tm(new_m, grads, state["exp_avg"])
+        steps = tm(step, grads, params, m, v)
         return steps, {"iter": it + 1, "exp_avg": m, "exp_avg_sq": v}
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -1,0 +1,66 @@
+"""Tokenizer acquisition (host-side; reference trainer.py:118-127).
+
+HF tokenizers stay on the host — tokenization is data-pipeline work, never
+in the compiled path.  ``get_tokenizer`` reproduces the reference's
+special-token bootstrapping (auto-added ``<EOS>/<BOS>/<MSK>``); the
+:class:`SyntheticTokenizer` serves offline runs (``dataset: synthetic``)
+with the same duck-typed surface.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+
+class SyntheticTokenizer:
+    """Integer-token tokenizer for network-free smoke runs and benchmarks."""
+
+    def __init__(self, vocab_size: int = 1024):
+        self.vocab_size = vocab_size
+        self.eos_token_id = 0
+        self.bos_token_id = 1
+        self.mask_token_id = 2
+        self.eos_token = "<EOS>"
+        self.bos_token = "<BOS>"
+        self.mask_token = "<MSK>"
+        self.pad_token = self.eos_token
+
+    def __call__(self, text: str, **kwargs):
+        ids = [self._encode_tok(t) for t in text.split()]
+        return type("Enc", (), {"input_ids": ids})()
+
+    def _encode_tok(self, tok: str) -> int:
+        specials = {self.eos_token: 0, self.bos_token: 1, self.mask_token: 2}
+        if tok in specials:
+            return specials[tok]
+        try:
+            return int(tok) % self.vocab_size
+        except ValueError:
+            return (hash(tok) % (self.vocab_size - 3)) + 3
+
+    def decode(self, ids) -> str:
+        names = {0: self.eos_token, 1: self.bos_token, 2: self.mask_token}
+        return " ".join(names.get(int(i), str(int(i))) for i in ids)
+
+    def batch_decode(self, batch) -> List[str]:
+        return [self.decode(ids) for ids in batch]
+
+
+def get_tokenizer(tokenizer_str: str, mask_fraction: float = 0.0,
+                  synthetic_vocab: Optional[int] = None):
+    """AutoTokenizer with reference special-token logic; 'synthetic' (or an
+    unavailable HF hub) falls back to SyntheticTokenizer."""
+    if tokenizer_str == "synthetic":
+        return SyntheticTokenizer(synthetic_vocab or 1024)
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(tokenizer_str)
+    kwargs = {}
+    if tokenizer.eos_token_id is None:
+        kwargs["eos_token"] = "<EOS>"
+    if tokenizer.bos_token_id is None:
+        kwargs["bos_token"] = "<BOS>"
+    if tokenizer.mask_token_id is None and mask_fraction > 0:
+        kwargs["mask_token"] = "<MSK>"
+    if kwargs:
+        tokenizer = AutoTokenizer.from_pretrained(tokenizer_str, **kwargs)
+    return tokenizer

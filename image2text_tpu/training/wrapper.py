@@ -87,8 +87,13 @@ class ModelTrainerWrapper(Module):
         return params
 
     def copy_momentum_params(self, params):
-        """Teacher ← student full copy (reference wrapper.py:46-51)."""
-        return jax.tree_util.tree_map(lambda x: x, params["model"])
+        """Teacher ← student full copy (reference wrapper.py:46-51).
+
+        A *materialised* copy: aliasing the student's buffers would make the
+        state tree contain the same buffer twice, which breaks donation in
+        the jitted train step."""
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                      params["model"])
 
     def momentum_update(self, params):
         """EMA teacher update (reference wrapper.py:53-60); returns the new

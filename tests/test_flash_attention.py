@@ -1,0 +1,152 @@
+"""Flash-attention kernel vs the XLA sdpa reference (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image2text_tpu.ops.attention import causal_bias, sdpa
+from image2text_tpu.ops.flash_attention import flash_attention, flash_sdpa
+
+
+def _rand(shape, seed=0, dtype=jnp.float32):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape),
+                       dtype)
+
+
+@pytest.mark.parametrize("b,h,hk,sq,skv,d", [
+    (2, 4, 4, 128, 128, 64),     # MHA, exact tiles after d-pad
+    (2, 4, 1, 128, 128, 64),     # MQA shared kv head
+    (1, 2, 2, 100, 172, 48),     # ragged shapes exercise padding
+    (1, 8, 1, 256, 320, 128),    # flagship decode-prefill shape
+])
+def test_flash_matches_sdpa(b, h, hk, sq, skv, d):
+    q = _rand((b, h, sq, d), 0)
+    k = _rand((b, hk, skv, d), 1)
+    v = _rand((b, hk, skv, d), 2)
+    bias = causal_bias(sq, skv)
+    ours = flash_attention(q, k, v, bias)
+    ref = sdpa(q, k, v, mask=bias, use_flash=False)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("sq,skv", [(128, 128), (100, 172), (64, 256)])
+def test_flash_in_kernel_causal(sq, skv):
+    """causal=True (in-kernel mask + block skipping) == XLA path with an
+    explicit causal bias, including decode-window sq != skv offsets."""
+    b, h, d = 2, 2, 64
+    q = _rand((b, h, sq, d), 0)
+    k = _rand((b, h, skv, d), 1)
+    v = _rand((b, h, skv, d), 2)
+    ours = flash_attention(q, k, v, None, causal=True)
+    ref = sdpa(q, k, v, mask=causal_bias(sq, skv), use_flash=False)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_causal_plus_bias():
+    """causal flag composes with an additive (e.g. soft-prompt) bias."""
+    b, h, s, d = 1, 2, 64, 32
+    q, k, v = _rand((b, h, s, d)), _rand((b, h, s, d), 1), _rand((b, h, s, d), 2)
+    bias = np.zeros((1, 1, s, s), np.float32)
+    bias[:, :, 8:, :4] = -np.inf
+    bias = jnp.asarray(bias)
+    ours = flash_attention(q, k, v, bias, causal=True)
+    ref = sdpa(q, k, v, mask=bias + causal_bias(s, s), use_flash=False)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_per_batch_bias():
+    b, h, s, d = 2, 2, 64, 32
+    q, k, v = _rand((b, h, s, d)), _rand((b, 1, s, d), 1), _rand((b, 1, s, d), 2)
+    # per-batch soft-prompt-style bias with -inf blocks
+    bias = np.zeros((b, 1, s, s), np.float32)
+    bias[:, :, 8:, :8] = -np.inf
+    bias[0, :, :, 50:] = -np.inf
+    bias = jnp.asarray(bias)
+    ours = flash_attention(q, k, v, bias)
+    ref = sdpa(q, k, v, mask=bias, use_flash=False)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_fully_masked_rows_are_finite():
+    """Padding-query rows (all keys masked) must not produce NaN/inf."""
+    b, h, s, d = 1, 1, 16, 32
+    q, k, v = _rand((b, h, s, d)), _rand((b, h, s, d), 1), _rand((b, h, s, d), 2)
+    bias = np.zeros((1, 1, s, s), np.float32)
+    bias[:, :, 10:, :] = -np.inf
+    out = np.asarray(flash_attention(q, k, v, jnp.asarray(bias)))
+    assert np.isfinite(out).all()
+    ref = np.asarray(sdpa(q, k, v, mask=jnp.asarray(bias), use_flash=False))
+    np.testing.assert_allclose(out[:, :, :10], ref[:, :, :10], atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_flash_bf16():
+    b, h, s, d = 1, 2, 128, 64
+    q = _rand((b, h, s, d), 0, jnp.bfloat16)
+    k = _rand((b, h, s, d), 1, jnp.bfloat16)
+    v = _rand((b, h, s, d), 2, jnp.bfloat16)
+    bias = causal_bias(s, s)
+    ours = np.asarray(flash_attention(q, k, v, bias), np.float32)
+    ref = np.asarray(sdpa(q, k, v, mask=bias, use_flash=False), np.float32)
+    np.testing.assert_allclose(ours, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_flash_sdpa_grad_matches_xla():
+    """custom_vjp backward (XLA recompute) == grads of the XLA path."""
+    b, h, s, d = 1, 2, 64, 32
+    q, k, v = _rand((b, h, s, d)), _rand((b, h, s, d), 1), _rand((b, h, s, d), 2)
+    bias = causal_bias(s, s)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_sdpa(q, k, v, bias, False) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sdpa(q, k, v, mask=bias, use_flash=False) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4,
+                                   rtol=1e-4)
+
+
+def test_sdpa_grad_finite_with_fully_masked_rows():
+    """Regression: padding-query rows (all keys -inf) must yield finite
+    grads — a denormal softmax-denominator floor made the division VJP
+    compute 0/0=NaN, which polluted shared weight grads via 0·NaN."""
+    q = _rand((1, 2, 6, 8), 0)
+    k = _rand((1, 2, 6, 8), 1)
+    v = _rand((1, 2, 6, 8), 2)
+    mask = np.zeros((1, 1, 6, 6), np.float32)
+    mask[:, :, 4:, :] = -np.inf
+    mask = jnp.asarray(mask)
+
+    def loss(q, k, v):
+        return jnp.sum(sdpa(q, k, v, mask=mask, use_flash=False)[:, :, :4] ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert bool(jnp.isfinite(g).all())
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_sdpa(q, k, v, mask, False)[:, :, :4] ** 2)
+
+    grads_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g, gf in zip(grads, grads_f):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gf), atol=1e-5)
+
+
+def test_sdpa_dispatches_flash():
+    """use_flash=True routes through the kernel for eligible shapes and
+    matches the XLA path."""
+    b, h, s, d = 2, 4, 128, 64
+    q, k, v = _rand((b, h, s, d)), _rand((b, h, s, d), 1), _rand((b, h, s, d), 2)
+    bias = causal_bias(s, s)
+    out_flash = sdpa(q, k, v, mask=bias, use_flash=True)
+    out_xla = sdpa(q, k, v, mask=bias, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_xla),
+                               atol=2e-5, rtol=2e-5)

@@ -26,7 +26,7 @@ def _model_and_inputs(b=2, seed=0, **cfg_kwargs):
     model = VisionEncoderDecoder(config)
     params = model.init(KEY)
     rng = np.random.default_rng(seed)
-    img = jnp.asarray(rng.standard_normal((b, 3, 128, 128)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((b, 3, 64, 64)), jnp.float32)
     return model, params, img
 
 

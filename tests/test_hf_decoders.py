@@ -1,0 +1,255 @@
+"""HF decoder family: numerical parity of our JAX backbones vs the actual
+torch transformers implementations (random weights exported from tiny
+config-built HF models — no network needed)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from image2text_tpu.configs.models import HuggingfaceDecoderConfig
+from image2text_tpu.models.hf_decoders.factory import (
+    FalconHuggingfaceDecoder,
+    GPT2HuggingfaceDecoder,
+    LlamaHuggingfaceDecoder,
+)
+from image2text_tpu.models.hf_decoders.gpt2 import import_hf_gpt2
+from image2text_tpu.models.hf_decoders.llama import LlamaArch, import_hf_llama
+from image2text_tpu.models.hf_decoders.falcon import FalconArch, import_hf_falcon
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _np_sd(model):
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+def _cfg(model_str, vocab, extra=0, cross=False):
+    return HuggingfaceDecoderConfig(
+        model_str=model_str, use_cross_attn=cross, vocab_size=vocab,
+        extra_tokens=extra, load_in_4bit=False,
+        prepare_for_kbit_training=False)
+
+
+def test_gpt2_parity_and_cross_attention():
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from image2text_tpu.models.hf_decoders.factory import GPT2_TABLE
+    GPT2_TABLE["gpt2"] = dict(n_layer=2, n_embd=32, n_head=2)
+    try:
+        hf = GPT2LMHeadModel(GPT2Config(
+            n_layer=2, n_embd=32, n_head=2, vocab_size=96,
+            add_cross_attention=True,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0))
+        hf.eval()
+        ours = GPT2HuggingfaceDecoder(_cfg("gpt2", 96, cross=True))
+        params = import_hf_gpt2(ours.init(KEY), _np_sd(hf))
+
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 96, (2, 10))
+        enc = rng.standard_normal((2, 4, 32)).astype(np.float32)
+        with torch.no_grad():
+            out = hf(input_ids=torch.tensor(ids),
+                     encoder_hidden_states=torch.tensor(enc),
+                     output_hidden_states=True)
+        logits, hidden = ours(params, idx=jnp.asarray(ids),
+                              cross_attn_embeds=jnp.asarray(enc),
+                              use_flash=False)
+        np.testing.assert_allclose(np.asarray(logits), out.logits.numpy(),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(hidden),
+                                   out.hidden_states[-1].numpy(),
+                                   atol=2e-4, rtol=2e-4)
+    finally:
+        GPT2_TABLE["gpt2"] = dict(n_layer=12, n_embd=768, n_head=12)
+
+
+def _llama_like_parity(hf_model, arch, model_str, vocab, tie):
+    hf_model.eval()
+    cfg = _cfg(model_str, vocab)
+    ours = LlamaHuggingfaceDecoder(cfg, arch, min_vocab=0)
+    params = import_hf_llama(ours.init(KEY), _np_sd(hf_model),
+                             tie_embeddings=tie)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, vocab, (2, 9))
+    with torch.no_grad():
+        out = hf_model(input_ids=torch.tensor(ids), output_hidden_states=True)
+    logits, hidden = ours(params, idx=jnp.asarray(ids), use_flash=False)
+    np.testing.assert_allclose(np.asarray(logits), out.logits.numpy(),
+                               atol=3e-4, rtol=3e-4)
+    return ours, params
+
+
+def test_llama_parity():
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf = LlamaForCausalLM(LlamaConfig(
+        num_hidden_layers=2, hidden_size=32, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, vocab_size=96,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_dropout=0.0, tie_word_embeddings=False))
+    arch = LlamaArch(vocab_size=96, n_layer=2, n_embd=32, n_head=4,
+                     n_kv_head=2, intermediate=64, max_positions=128)
+    _llama_like_parity(hf, arch, "meta-llama/Llama-2-7b-hf", 96, tie=False)
+
+
+def test_qwen2_parity():
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    hf = Qwen2ForCausalLM(Qwen2Config(
+        num_hidden_layers=2, hidden_size=32, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, vocab_size=96,
+        max_position_embeddings=128, rms_norm_eps=1e-6, rope_theta=1e6,
+        attention_dropout=0.0, tie_word_embeddings=True))
+    arch = LlamaArch(vocab_size=96, n_layer=2, n_embd=32, n_head=4,
+                     n_kv_head=2, intermediate=64, max_positions=128,
+                     rope_theta=1e6, rms_eps=1e-6, qkv_bias=True,
+                     tie_embeddings=True)
+    _llama_like_parity(hf, arch, "Qwen/test", 96, tie=True)
+
+
+def test_falcon_parity():
+    from transformers import FalconConfig, FalconForCausalLM
+
+    hf = FalconForCausalLM(FalconConfig(
+        num_hidden_layers=2, hidden_size=32, num_attention_heads=4,
+        vocab_size=96, multi_query=True, parallel_attn=True, bias=False,
+        new_decoder_architecture=False, attention_dropout=0.0,
+        hidden_dropout=0.0, rope_theta=10000.0))
+    hf.eval()
+    arch = FalconArch(vocab_size=96, n_layer=2, n_embd=32, n_head=4)
+    cfg = HuggingfaceDecoderConfig(
+        model_str="tiiuae/falcon-7b", use_cross_attn=False, vocab_size=96,
+        extra_tokens=0, load_in_4bit=False, prepare_for_kbit_training=False)
+    # bypass the 65024 vocab assert for the tiny test model
+    ours = FalconHuggingfaceDecoder.__new__(FalconHuggingfaceDecoder)
+    from image2text_tpu.models.hf_decoders.factory import HuggingfaceDecoder
+    HuggingfaceDecoder.__init__(ours, cfg, block_size=2048, n_embd=32,
+                                tied=True,
+                                embed_path="transformer.word_embeddings")
+    from image2text_tpu.models.hf_decoders.falcon import FalconBackbone
+    ours.arch = arch
+    ours.backbone = ours.add("transformer", FalconBackbone(arch))
+    params = import_hf_falcon(ours.init(KEY), _np_sd(hf))
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 96, (2, 9))
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(ids), output_hidden_states=True)
+    logits, hidden = ours(params, idx=jnp.asarray(ids), use_flash=False)
+    np.testing.assert_allclose(np.asarray(logits), out.logits.numpy(),
+                               atol=3e-4, rtol=3e-4)
+
+
+def test_quantized_lora_gpt2_end_to_end():
+    """load_in_4bit + LoRA: quantized frozen base under fp adapters; only
+    adapters (+ force-enabled modules) train; VED generation runs."""
+    from image2text_tpu.configs.models import (
+        LoraSpec, MLPConfig, ImageInputSpec, SelfAttentionConfig,
+        SelfAttentionType, TransformerConfig, VisionEncoderDecoderConfig,
+        VisionTransformerEncoderConfig)
+    from image2text_tpu.models.hf_decoders.factory import (GPT2_TABLE,
+                                                           build_hf_decoder)
+    from image2text_tpu.models.quantization import QuantizedLinear
+    from image2text_tpu.models.vision_encoder_decoder import VisionEncoderDecoder
+    from image2text_tpu.utils.tree import flatten
+
+    GPT2_TABLE["gpt2"] = dict(n_layer=2, n_embd=32, n_head=2)
+    try:
+        # vocab >= 50257 satisfies the reference's no-shrink assert
+        # (decoder.py:119-134); the tiny n_embd keeps the table small
+        cfg = HuggingfaceDecoderConfig(
+            model_str="gpt2", use_cross_attn=True, vocab_size=50257,
+            extra_tokens=2, load_in_4bit=True, prepare_for_kbit_training=True,
+            lora_spec=LoraSpec(r=4, lora_alpha=8, lora_dropout=0.0,
+                               target_modules=["c_attn", "mlp.c_fc",
+                                               "mlp.c_proj"],
+                               force_enable_update_modules=["*.wpe.*", "*.wte.*",
+                                                            "*.crossattention.*",
+                                                            "*.ln_cross_attn.*"]))
+        dec = build_hf_decoder(cfg, load_weights=False)
+        # base attention projections are quantized + LoRA-wrapped
+        blk = dec.backbone.blocks[0]
+        assert isinstance(blk.attn.c_attn, QuantizedLinear)
+        assert hasattr(blk.attn.c_attn, "scaling")  # LoRA mixin applied
+        params = dec.init(KEY)
+        flat = flatten(params)
+        qkey = "transformer.h.0.attn.c_attn.weight"
+        assert flat[qkey].dtype == jnp.int8
+        assert "transformer.h.0.attn.c_attn.lora_A.weight" in flat
+
+        frozen = set(dec.frozen_param_paths())
+        assert qkey in frozen
+        assert "transformer.h.0.attn.c_attn.lora_A.weight" not in frozen
+        # force-enabled cross-attention stays trainable
+        assert not any("crossattention" in f for f in frozen)
+
+        # forward + cached generation through a composite model
+        enc_cfg = VisionTransformerEncoderConfig(
+            transformer_config=TransformerConfig(
+                rotator_config=MLPConfig(ff_mult=2.0),
+                attn_config=SelfAttentionConfig(
+                    attn_type=SelfAttentionType.MULTI_QUERY, n_embd=32,
+                    n_head=2),
+                is_causal=False, is_cross_attn=False),
+            input=ImageInputSpec(n_channels=3, width=32, height=32),
+            n_layer=1, n_cls=4, num_patches=8, n_channels=4)
+        ved_cfg = VisionEncoderDecoderConfig(
+            vision_encoder_config=enc_cfg, decoder_config=cfg,
+            use_cross_attn=True, use_soft_prompting=True)
+        model = VisionEncoderDecoder(ved_cfg, decoder=dec)
+        vparams = model.init(jax.random.PRNGKey(1))
+        img = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 3, 32, 32)), jnp.float32)
+        prompt = jnp.asarray([[1], [2]])
+        fast = model.generate(vparams, img, prompt, max_new_tokens=5,
+                              temperature=0.0)
+        slow = model.generate(vparams, img, prompt, max_new_tokens=5,
+                              temperature=0.0, force_no_cache=True)
+        assert fast.shape == (2, 6)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+    finally:
+        GPT2_TABLE["gpt2"] = dict(n_layer=12, n_embd=768, n_head=12)
+
+
+def test_quantization_roundtrip_accuracy():
+    from image2text_tpu.models.quantization import (dequantize_blockwise,
+                                                    quantize_blockwise)
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((16, 100)).astype(np.float32) * 0.05
+    q, s = quantize_blockwise(w)
+    back = np.asarray(dequantize_blockwise(jnp.asarray(q), jnp.asarray(s), 100))
+    err = np.abs(back - w).max() / np.abs(w).max()
+    assert err < 0.12, err  # int4 blockwise absmax: ~7% worst-case
+
+
+def test_llama_kv_cache_decode():
+    """Cached decode on the rotary/GQA path matches the full forward."""
+    from image2text_tpu.models.kv_cache import CacheRef
+
+    arch = LlamaArch(vocab_size=96, n_layer=2, n_embd=32, n_head=4,
+                     n_kv_head=2, intermediate=64, max_positions=128)
+    ours = LlamaHuggingfaceDecoder(_cfg("meta-llama/Llama-2-7b-hf", 96),
+                                   LlamaArch(**vars(arch)), min_vocab=0)
+    params = ours.init(KEY)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 96, (2, 8)))
+    full_logits, _ = ours(params, idx=ids, use_flash=False)
+
+    cache = ours.init_cache(2, 8)
+    chunks = []
+    ref = CacheRef(cache)
+    l, _ = ours(params, idx=ids[:, :5], kv_cache=ref, pos_offset=0,
+                use_flash=False)
+    cache = ref.advanced()
+    chunks.append(l)
+    for i in range(5, 8):
+        ref = CacheRef(cache)
+        l, _ = ours(params, idx=ids[:, i:i + 1], kv_cache=ref, pos_offset=i,
+                    use_flash=False)
+        cache = ref.advanced()
+        chunks.append(l)
+    cached = jnp.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full_logits),
+                               atol=2e-4, rtol=2e-4)

@@ -1,0 +1,270 @@
+"""Training-runtime tests: SNRAdam numerics vs a torch reimplementation of
+the reference optimizer, loss/weight semantics, data pipeline, and an
+end-to-end loss-goes-down smoke train on an 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image2text_tpu.configs.trainer import (
+    OptimizerConfig,
+    TrainerWrapperConfig,
+    TrainingConfig,
+)
+from image2text_tpu.training.data import (
+    SyntheticFlickrDataset,
+    WrapperDataLoader,
+    normalize_label,
+)
+from image2text_tpu.training.optimizer import (
+    assign_param_labels,
+    build_optimizer,
+    snr_adam,
+)
+from image2text_tpu.training.wrapper import ModelTrainerWrapper, TokenizerInfo
+
+from test_vision_encoder_decoder import tiny_config
+
+KEY = jax.random.PRNGKey(0)
+TOK = TokenizerInfo(eos_token_id=0, bos_token_id=1, mask_token_id=2,
+                    vocab_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# SNRAdam
+# ---------------------------------------------------------------------------
+
+def _torch_snr_adam_step(p, g, state, lr, b1, b2, wd, eps):
+    """Literal numpy transcription of the reference update rule
+    (models/optimizer.py:78-111) used as the golden model."""
+    it = state["iter"]
+    if wd != 0:
+        p = p * (1 - lr * wd)
+    m, v = state["m"], state["v"]
+    d = g - (m if it == 1 else m / (1 - b1 ** (it - 1)))
+    d2 = d * d
+    m = b1 * m + (1 - b1) * g
+    v = b2 * v + (1 - b2) * d2
+    p = p - lr * (m / (1 - b1 ** it)) / (np.sqrt(v / (1 - b2 ** it)) + eps)
+    return p, {"iter": it + 1, "m": m, "v": v}
+
+
+def test_snr_adam_matches_reference_rule():
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal(7).astype(np.float32)
+    lr, b1, b2, wd, eps = 1e-2, 0.9, 0.99, 0.1, 1e-8
+
+    tx = snr_adam(lr, (b1, b2), weight_decay=wd, eps=eps)
+    params = {"w": jnp.asarray(p0)}
+    opt_state = tx.init(params)
+    gold_p = p0.copy()
+    gold_state = {"iter": 1, "m": np.zeros(7, np.float32),
+                  "v": np.zeros(7, np.float32)}
+    for step in range(5):
+        g = rng.standard_normal(7).astype(np.float32)
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        params = {"w": params["w"] + updates["w"]}
+        gold_p, gold_state = _torch_snr_adam_step(gold_p, g, gold_state, lr,
+                                                  b1, b2, wd, eps)
+        np.testing.assert_allclose(np.asarray(params["w"]), gold_p, rtol=2e-5,
+                                   atol=1e-6, err_msg=f"step {step}")
+
+
+def test_snr_adam_vs_torch_reference():
+    """Run the actual reference SNRAdam (torch) against ours on the same
+    trajectory."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_optimizer", "/root/reference/models/optimizer.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.default_rng(1)
+    p0 = rng.standard_normal((3, 4)).astype(np.float32)
+    grads = [rng.standard_normal((3, 4)).astype(np.float32) for _ in range(6)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    opt = ref.SNRAdam([tp], lr=3e-3, betas=(0.9, 0.999), weight_decay=0.01)
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        opt.step()
+
+    tx = snr_adam(3e-3, (0.9, 0.999), weight_decay=0.01)
+    params = {"w": jnp.asarray(p0)}
+    st = tx.init(params)
+    for g in grads:
+        upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+        params = {"w": params["w"] + upd["w"]}
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Wrapper losses
+# ---------------------------------------------------------------------------
+
+def _wrapper(**trainer_kwargs):
+    cfg = tiny_config()
+    tc = TrainerWrapperConfig(**trainer_kwargs)
+    return ModelTrainerWrapper(cfg, TOK, tc), tc
+
+
+def test_get_weights_semantics():
+    w, _ = _wrapper(weight_fn="inverse_sqrt_position", eos_token_weight=3.0)
+    labels = jnp.asarray([[5, 6, 0, -100], [7, -100, -100, -100]])
+    weights = np.asarray(w.get_weights(labels))
+    # ignore positions are zero
+    assert weights[0, 3] == 0 and (weights[1, 1:] == 0).all()
+    # eos weight overrides position schedule before normalisation
+    raw = np.array([1.0, 1 / np.sqrt(2), 3.0, 0.0])
+    expect0 = raw / (1e-3 + raw.sum()) / 2
+    np.testing.assert_allclose(weights[0], expect0, rtol=1e-5)
+
+
+def test_lm_loss_matches_manual_ce():
+    w, _ = _wrapper()
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((2, 4, 16)), jnp.float32)
+    labels = jnp.asarray([[3, 5, -100, -100], [1, 2, 4, -100]])
+    loss = float(w.compute_lm_loss(logits, labels))
+    weights = np.asarray(w.get_weights(labels))
+    lp = jax.nn.log_softmax(np.asarray(logits), axis=-1)
+    manual = 0.0
+    for b in range(2):
+        for t in range(4):
+            lab = int(labels[b, t])
+            if lab != -100:
+                manual += -lp[b, t, lab] * weights[b, t]
+    np.testing.assert_allclose(loss, manual, rtol=1e-5)
+
+
+def test_momentum_distillation_loss_interpolates():
+    """alpha=0 must reduce to weighted CE on the one-hot targets."""
+    w, _ = _wrapper(moco_momentum=0.995, moco_alpha=0.0)
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((2, 4, 16)), jnp.float32)
+    teacher = jnp.asarray(rng.standard_normal((2, 4, 16)), jnp.float32)
+    labels = jnp.asarray([[3, 5, -100, -100], [1, 2, 4, -100]])
+    with_moco = float(w.compute_lm_loss(logits, labels, teacher))
+    plain = float(w.compute_lm_loss(logits, labels))
+    np.testing.assert_allclose(with_moco, plain, rtol=1e-5)
+
+
+def test_build_inputs_bos_and_masking():
+    w, _ = _wrapper(mask_fraction=0.5, random_mask_fraction=0.2)
+    labels = jnp.asarray(np.random.default_rng(0).integers(3, 1000, (4, 32)))
+    labels = labels.at[:, 20:].set(-100)
+    ids, msk = w.build_inputs(labels, is_train=True, rng=jax.random.PRNGKey(0))
+    assert ids.shape == labels.shape
+    assert (np.asarray(ids)[:, 0] == TOK.bos_token_id).all()
+    np_msk = np.asarray(msk)
+    assert np_msk[:, 0].all() and not np_msk[:, 21:].any()
+    # padding beyond labels is EOS-filled
+    assert (np.asarray(ids)[:, 21:] == TOK.eos_token_id).all()
+    # some positions are masked at mask_fraction=0.5
+    corrupted = (np.asarray(ids)[:, 1:20] !=
+                 np.asarray(labels)[:, :19]).mean()
+    assert 0.2 < corrupted < 0.8
+    # val path never corrupts
+    ids_v, _ = w.build_inputs(labels, is_train=False, rng=None)
+    np.testing.assert_array_equal(np.asarray(ids_v[:, 1:20]),
+                                  np.asarray(labels[:, :19]))
+
+
+# ---------------------------------------------------------------------------
+# Data pipeline
+# ---------------------------------------------------------------------------
+
+def test_normalize_label_keeps_one_trailing_eos():
+    ids = np.asarray([[11, 12, 13, 0, 0, 0]])
+    mask = np.asarray([[1, 1, 1, 0, 0, 0]])
+    lab = normalize_label(ids, mask, -100)
+    # <= keeps index 3 (the EOS being predicted), reference training/utils.py:17-20
+    np.testing.assert_array_equal(lab[0], [11, 12, 13, 0, -100, -100])
+
+
+def test_wrapper_dataloader_expansion():
+    ds = SyntheticFlickrDataset(num_rows=8, batch_size=8, image_size=32,
+                                seq_len=32, vocab_size=64)
+    dl = WrapperDataLoader(ds, batch_size=5, ignore_idx=-100, epochs=1)
+    batches = list(dl)
+    total = sum(b[0].shape[0] for b in batches)
+    assert total == 8 * 5  # 5x caption expansion
+    assert all(b[0].shape[0] == b[1].shape[0] for b in batches)
+    assert len(dl) == 5 * len(ds)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer grouping
+# ---------------------------------------------------------------------------
+
+def test_param_labels_exclude_teacher_and_match_patterns():
+    paths = ["model.decoder.transformer.wte.weight",
+             "model.encoder.proj.weight",
+             "model_m.decoder.transformer.wte.weight"]
+    cfgs = [OptimizerConfig(lr=1e-3, target_modules=["decoder.*"]),
+            OptimizerConfig(lr=1e-4, target_modules=["encoder.*"])]
+    labels = assign_param_labels(paths, cfgs)
+    assert labels["model.decoder.transformer.wte.weight"] == "group_0"
+    assert labels["model.encoder.proj.weight"] == "group_1"
+    assert labels["model_m.decoder.transformer.wte.weight"] == "frozen"
+
+
+def test_frozen_params_get_zero_updates():
+    w, _ = _wrapper()
+    params = w.init(KEY)
+    cfgs = [OptimizerConfig(lr=1e-2, target_modules=["decoder.*"])]
+    tx, labels, matchers = build_optimizer(w, params, cfgs)
+    assert len(matchers) == 1
+    st = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, _ = tx.update(grads, st, params)
+    from image2text_tpu.utils.tree import flatten
+    flat = flatten(upd)
+    assert float(jnp.abs(flat["model.decoder.transformer.wte.weight"]).sum()) > 0
+    # encoder not targeted -> zero update
+    enc_keys = [k for k in flat if k.startswith("model.encoder.")]
+    assert enc_keys and all(float(jnp.abs(flat[k]).sum()) == 0 for k in enc_keys)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end smoke train on the 8-device mesh
+# ---------------------------------------------------------------------------
+
+def test_smoke_train_loss_decreases():
+    cfg_model = tiny_config()
+    config = TrainingConfig(
+        model=cfg_model, batch_size=8, epochs=1, num_steps=18, num_val_steps=2,
+        tokenizer_str="synthetic", gradient_accumulation_steps=2,
+        trainer=TrainerWrapperConfig(moco_momentum=0.99, moco_alpha=0.1,
+                                     mask_fraction=0.15,
+                                     random_mask_fraction=0.2),
+        optimizers=[OptimizerConfig(lr=3e-3)],
+        dataset="synthetic", seed=0)
+    from image2text_tpu.training.loop import Trainer
+
+    wrapper = ModelTrainerWrapper(cfg_model, TOK, config.trainer)
+    params = wrapper.init(KEY)
+    trainer = Trainer(config, wrapper, params)
+
+    ds = SyntheticFlickrDataset(num_rows=64, batch_size=16, image_size=64,
+                                seq_len=48, vocab_size=1024, eos_token_id=0)
+    dl = WrapperDataLoader(ds, batch_size=8, ignore_idx=-100, epochs=100)
+    it = iter(dl)
+
+    losses = []
+    import jax.numpy as jnp_
+    for _ in range(10):
+        images, labels = next(it)
+        from image2text_tpu.parallel.mesh import shard_batch
+        im, lb = shard_batch(trainer.mesh, jnp_.asarray(images),
+                             jnp_.asarray(labels))
+        trainer.state, metrics = trainer._train_step(trainer.state, im, lb,
+                                                     trainer.rng)
+        losses.append(float(metrics["train_loss_lm"]))
+    assert losses[-1] < losses[0], losses
+    # val step runs and returns finite metrics
+    loss, metrics = trainer.val_loop(iter(dl), epoch=0)
+    assert np.isfinite(loss)
+    assert "val_loss_lm" in metrics

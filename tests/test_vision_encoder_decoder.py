@@ -49,11 +49,13 @@ def tiny_config(use_cross_attn=True, use_soft_prompting=True, sparse=False,
             attn_type=SelfAttentionType.MULTI_QUERY, n_embd=64, n_head=4),
         is_causal=False, is_cross_attn=False,
     )
+    # reference-test shapes (n_cls=24, n_embd=64) at a CPU-friendly scale:
+    # 64px images and 16² patch tokens instead of the reference's 128px/32²
     vision_encoder_config = VisionTransformerEncoderConfig(
         transformer_config=encoder_transformer_config,
         enable_gradient_checkpointing=True,
-        input=ImageInputSpec(n_channels=3, width=128, height=128),
-        n_layer=2, n_cls=24, num_patches=32, n_channels=32,
+        input=ImageInputSpec(n_channels=3, width=64, height=64),
+        n_layer=2, n_cls=24, num_patches=16, n_channels=32,
         feature_extractor_gate_sizes=(8, 16),
         feature_extractor_kernel_size=(4, 4),
     )
@@ -73,7 +75,7 @@ def test_vision_encoder_decoder_reference_shapes():
     params = model.init(KEY)
     b = 4
     inp = jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, (b, 3, 128, 128)), jnp.float32)
+        np.random.default_rng(0).integers(0, 256, (b, 3, 64, 64)), jnp.float32)
     ids = jnp.asarray(np.random.default_rng(1).integers(0, 1024, (b, 192)))
     attn_mask = jnp.asarray(
         np.random.default_rng(2).integers(0, 2, (192, 192)).astype(bool))
@@ -93,8 +95,8 @@ def test_soft_prompt_mask_semantics():
     params = model.init(KEY)
     b = 2
     rng = np.random.default_rng(3)
-    img1 = jnp.asarray(rng.standard_normal((b, 3, 128, 128)), jnp.float32)
-    img2 = jnp.asarray(rng.standard_normal((b, 3, 128, 128)), jnp.float32)
+    img1 = jnp.asarray(rng.standard_normal((b, 3, 64, 64)), jnp.float32)
+    img2 = jnp.asarray(rng.standard_normal((b, 3, 64, 64)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, 1024, (b, 16)))
     out1 = model(params, img1, ids)
     out2 = model(params, img2, ids)
@@ -116,7 +118,7 @@ def test_causality():
     model = VisionEncoderDecoder(config)
     params = model.init(KEY)
     rng = np.random.default_rng(4)
-    img = jnp.asarray(rng.standard_normal((1, 3, 128, 128)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((1, 3, 64, 64)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, 1024, (1, 16)))
     ids2 = ids.at[0, 10].set((ids[0, 10] + 7) % 1024)
     l1 = np.asarray(model(params, img, ids).logits)
@@ -130,7 +132,7 @@ def test_encoder_output_reuse():
     model = VisionEncoderDecoder(config)
     params = model.init(KEY)
     rng = np.random.default_rng(5)
-    img = jnp.asarray(rng.standard_normal((2, 3, 128, 128)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((2, 3, 64, 64)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, 1024, (2, 8)))
     out = model(params, img, ids)
     out2 = model(params, None, ids, encoder_output=out.encoder_output)
@@ -143,7 +145,7 @@ def test_sparse_decoder_and_advanced_pos_emb():
     model = VisionEncoderDecoder(config)
     params = model.init(KEY)
     rng = np.random.default_rng(6)
-    img = jnp.asarray(rng.standard_normal((2, 3, 128, 128)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((2, 3, 64, 64)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, 1024, (2, 32)))
     out = model(params, img, ids)
     # block_size=64, ncls=24 -> text logits truncated to 64-24=40 >= 32
@@ -156,7 +158,7 @@ def test_jit_and_train_mode():
     model = VisionEncoderDecoder(config)
     params = model.init(KEY)
     rng = np.random.default_rng(7)
-    img = jnp.asarray(rng.standard_normal((2, 3, 128, 128)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((2, 3, 64, 64)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, 1024, (2, 8)))
 
     @jax.jit

@@ -1,0 +1,131 @@
+"""CLI entry point (reference: trainer.py:105-212).
+
+    python trainer.py --config_file training_configs/local/nano-mini.yaml \
+        [--chkpt_file out.npz]
+
+Same two flags, same YAML schema, same epoch loop structure
+(train → qualitative eval → val).  Distribution is a pjit data-parallel
+mesh instead of `accelerate launch` — run the SAME command on every host
+of a multi-host TPU slice (jax.distributed handles coordination); there is
+no per-device process fork on a single host.
+"""
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from image2text_tpu.configs.models import PretrainedViTConfig
+from image2text_tpu.configs.trainer import TrainingConfig
+from image2text_tpu.parallel.mesh import maybe_initialize_distributed
+from image2text_tpu.training.data import (
+    SyntheticFlickrDataset,
+    WrapperDataLoader,
+    get_flickr30k_dataloader,
+)
+from image2text_tpu.training.loop import Trainer
+from image2text_tpu.training.tokenizer import get_tokenizer
+from image2text_tpu.training.wrapper import ModelTrainerWrapper, TokenizerInfo
+
+
+def eval_model(trainer: Trainer, tokenizer, val_iter, epoch: int,
+               ignore_index: int, prompt=None, num_candidates: int = 4):
+    """Qualitative val-time generation (reference trainer.py:27-65)."""
+    print(f"Model perf at the end of the {epoch}-th epoch")
+    print("Val:")
+    images, labels = next(val_iter)
+    x = jnp.broadcast_to(jnp.asarray(images[:1]),
+                         (num_candidates, *images.shape[1:]))
+    label_ = np.asarray(labels[0])
+    prompt = tokenizer.bos_token if prompt is None \
+        else " ".join([tokenizer.bos_token, prompt])
+    decoded_ids = jnp.asarray(tokenizer(text=prompt).input_ids)[None]
+    decoded_ids = jnp.broadcast_to(decoded_ids,
+                                   (num_candidates, decoded_ids.shape[-1]))
+    model = trainer.wrapper.model
+    window = model.decoder.block_size - model.space_for_prompt
+    max_new = min(128, window - decoded_ids.shape[-1])
+    result = model.generate(trainer.state.params["model"], x, decoded_ids,
+                            temperature=0.7, max_new_tokens=max_new,
+                            nucleus_p=0.6,
+                            rng=jax.random.fold_in(trainer.rng, epoch))
+    result_txt = tokenizer.batch_decode(np.asarray(result)[:, 1:])
+    reference = tokenizer.batch_decode([label_[label_ != ignore_index]])[0]
+    print("truth", reference, "\n")
+    for gen in result_txt:
+        i = gen.find(tokenizer.eos_token)
+        print(gen[:i] if i >= 0 else gen)
+
+
+def build_dataloaders(config: TrainingConfig, tokenizer):
+    """train/val WrapperDataLoaders from the configured dataset."""
+    inner_bs = config.dataloader_buffer_size * config.batch_size
+    if config.dataset == "synthetic":
+        image_size = 224 if isinstance(config.model.vision_encoder_config,
+                                       PretrainedViTConfig) else \
+            config.model.vision_encoder_config.input.width
+        vocab = config.model.decoder_config.vocab_size
+        train_ds = SyntheticFlickrDataset(
+            27000, inner_bs, image_size=image_size, vocab_size=vocab,
+            eos_token_id=tokenizer.eos_token_id, seed=config.seed)
+        val_ds = SyntheticFlickrDataset(
+            4000, inner_bs, image_size=image_size, vocab_size=vocab,
+            eos_token_id=tokenizer.eos_token_id, seed=config.seed + 1)
+    else:
+        train_ds, val_ds = get_flickr30k_dataloader(
+            tokenizer, inner_bs, config.shuffle,
+            isinstance(config.model.vision_encoder_config, PretrainedViTConfig))
+    train_dl = WrapperDataLoader(train_ds, batch_size=config.batch_size,
+                                 ignore_idx=config.ignore_index,
+                                 epochs=config.epochs, seed=config.seed)
+    val_dl = WrapperDataLoader(val_ds, batch_size=config.batch_size,
+                               ignore_idx=config.ignore_index, epochs=100000,
+                               seed=config.seed + 1)
+    return train_dl, val_dl
+
+
+def main(args):
+    maybe_initialize_distributed()
+    with open(args.config_file) as f:
+        config = TrainingConfig.model_validate(yaml.safe_load(f))
+    if jax.process_index() == 0:
+        print(config)
+
+    tokenizer = get_tokenizer(
+        config.tokenizer_str, config.trainer.mask_fraction,
+        synthetic_vocab=config.model.decoder_config.vocab_size)
+    train_dl, val_dl = build_dataloaders(config, tokenizer)
+
+    wrapper = ModelTrainerWrapper(
+        model_config=config.model,
+        tokenizer=TokenizerInfo.from_tokenizer(tokenizer),
+        trainer_config=config.trainer,
+        ignore_index=config.ignore_index)
+    params = wrapper.init(jax.random.PRNGKey(config.seed))
+    trainer = Trainer(config, wrapper, params)
+
+    train_iter, val_iter = iter(train_dl), iter(val_dl)
+    for epoch in range(10000):
+        stop = trainer.train_loop(train_iter, epoch,
+                                  chkpt_fname=args.chkpt_file)
+        if stop:
+            break
+        eval_model(trainer, tokenizer, val_iter, epoch, config.ignore_index)
+        loss, metrics = trainer.val_loop(val_iter, epoch)
+        if jax.process_index() == 0:
+            print(f"Epoch: {epoch}, loss: {loss}, metrics: {metrics}")
+
+
+def parse_args(argv=None):
+    parser = ArgumentParser()
+    parser.add_argument("--config_file", required=True, type=str)
+    parser.add_argument("--chkpt_file", required=False, type=str, default=None)
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args(sys.argv[1:]))
