@@ -55,7 +55,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Device_put host arrays with the global batch split over 'data'."""
+    """Host arrays → global arrays with the batch split over 'data'.
+
+    Single-host: a sharded device_put.  Multi-host: each process supplies
+    its local slice and `make_array_from_process_local_data` assembles the
+    global batch (split_batches=True parity, reference trainer.py:110 —
+    every host feeds its shard of the global batch)."""
     sh = data_sharding(mesh)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    if jax.process_count() > 1:
+        out = tuple(
+            jax.make_array_from_process_local_data(sh, np.asarray(a))
+            for a in arrays)
+    else:
+        out = tuple(jax.device_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]

@@ -17,3 +17,7 @@ import jax  # noqa: E402  (import after env setup)
 # The axon TPU plugin ignores the env var; force the platform explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# persistent compilation cache: repeated pytest runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

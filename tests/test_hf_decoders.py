@@ -212,6 +212,69 @@ def test_quantized_lora_gpt2_end_to_end():
         GPT2_TABLE["gpt2"] = dict(n_layer=12, n_embd=768, n_head=12)
 
 
+def test_beam_search_hf_prefix_in_cache():
+    """Beam search over an HF (plain-causal) decoder: the soft-prompt prefix
+    lives in the KV cache; cached loop == full-reforward loop in greedy
+    mode."""
+    from image2text_tpu.configs.models import (
+        MLPConfig, ImageInputSpec, SelfAttentionConfig, SelfAttentionType,
+        TransformerConfig, VisionEncoderDecoderConfig,
+        VisionTransformerEncoderConfig)
+    from image2text_tpu.models.generation_utils import BeamSearchTokenGenerator
+    from image2text_tpu.models.hf_decoders.factory import (GPT2_TABLE,
+                                                           build_hf_decoder)
+    from image2text_tpu.models.vision_encoder_decoder import VisionEncoderDecoder
+
+    GPT2_TABLE["gpt2"] = dict(n_layer=2, n_embd=32, n_head=2)
+    try:
+        dec_cfg = HuggingfaceDecoderConfig(
+            model_str="gpt2", use_cross_attn=False, vocab_size=50257,
+            extra_tokens=0, load_in_4bit=False,
+            prepare_for_kbit_training=False)
+        dec = build_hf_decoder(dec_cfg, load_weights=False)
+        enc_cfg = VisionTransformerEncoderConfig(
+            transformer_config=TransformerConfig(
+                rotator_config=MLPConfig(ff_mult=2.0),
+                attn_config=SelfAttentionConfig(
+                    attn_type=SelfAttentionType.MULTI_QUERY, n_embd=32,
+                    n_head=2),
+                is_causal=False, is_cross_attn=False),
+            input=ImageInputSpec(n_channels=3, width=32, height=32),
+            n_layer=1, n_cls=4, num_patches=8, n_channels=4)
+        ved_cfg = VisionEncoderDecoderConfig(
+            vision_encoder_config=enc_cfg, decoder_config=dec_cfg,
+            use_cross_attn=False, use_soft_prompting=True)
+        model = VisionEncoderDecoder(ved_cfg, decoder=dec)
+        params = model.init(jax.random.PRNGKey(2))
+        img = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (2, 3, 32, 32)), jnp.float32)
+        prompt = jnp.asarray([[5], [6]])
+        gen = BeamSearchTokenGenerator(model, beam_width=2, temperature=0.0,
+                                       max_new_tokens=4,
+                                       beam_expansion_factor=2,
+                                       consolidation_temperature=0.0)
+        ids_fast, sc_fast = gen(params, img, prompt)
+        cls = dec.__class__
+        orig = cls.supports_kv_cache
+        try:
+            cls.supports_kv_cache = property(lambda self: False)
+            ids_slow, sc_slow = gen(params, img, prompt)
+        finally:
+            cls.supports_kv_cache = orig
+        np.testing.assert_array_equal(np.asarray(ids_fast),
+                                      np.asarray(ids_slow))
+        np.testing.assert_allclose(np.asarray(sc_fast), np.asarray(sc_slow),
+                                   atol=1e-4)
+        # soft-prompt prefix reaches the logits for HF decoders: different
+        # images must change the generated beams (plain-causal attention)
+        img2 = jnp.asarray(np.random.default_rng(9).standard_normal(
+            (2, 3, 32, 32)), jnp.float32)
+        ids_other, _ = gen(params, img2, prompt)
+        assert not np.array_equal(np.asarray(ids_fast), np.asarray(ids_other))
+    finally:
+        GPT2_TABLE["gpt2"] = dict(n_layer=12, n_embd=768, n_head=12)
+
+
 def test_quantization_roundtrip_accuracy():
     from image2text_tpu.models.quantization import (dequantize_blockwise,
                                                     quantize_blockwise)
