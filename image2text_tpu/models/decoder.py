@@ -161,10 +161,24 @@ class TransformerDecoder(Decoder):
                 params, self.pretrained_model, self.config.vocab_size, self.loose)
         return params
 
+    # -- decode-time cross-attention K/V precompute --------------------------
+    def precompute_cross_kv(self, p, enc):
+        """Per-depth split-head cross K/V from the (fixed) encoder output —
+        computed once per generated sequence instead of once per token."""
+        out = {}
+        for depth, blk in enumerate(self.blocks):
+            use_cross = blk.is_cross_attn and (
+                not self.skip_alternate_cross_attn or depth % 2 == 0)
+            if use_cross:
+                bp = p["transformer"]["h"][str(depth)]
+                out[depth] = blk.cross_attn.project_kv(bp["cross_attn"], enc,
+                                                       enc)
+        return out
+
     # -- forward -------------------------------------------------------------
     def forward(self, p, idx=None, inputs_embeds=None, cross_attn_embeds=None,
                 attn_msk=None, ctx: Ctx = Ctx(), use_flash: bool = True,
-                kv_cache=None, pos_offset=None, **kwargs):
+                kv_cache=None, pos_offset=None, cross_kv=None, **kwargs):
         assert not (idx is None and inputs_embeds is None)
         assert idx is None or inputs_embeds is None
         if inputs_embeds is None:
@@ -202,8 +216,11 @@ class TransformerDecoder(Decoder):
                                 ctx=Ctx(rng=rng_, train=True), use_flash=use_flash)
                 x = jax.checkpoint(run)(bp, x, cross_inputs, attn_msk, bctx.rng)
             else:
-                x = blk(bp, x, cross_attn_inputs=cross_inputs, attn_mask=attn_msk,
-                        ctx=bctx, use_flash=use_flash, kv_cache=kv_cache)
+                ckv = cross_kv.get(depth) if cross_kv is not None else None
+                x = blk(bp, x,
+                        cross_attn_inputs=None if ckv is not None else cross_inputs,
+                        attn_mask=attn_msk, ctx=bctx, use_flash=use_flash,
+                        kv_cache=kv_cache, cross_kv=ckv)
         x = self.ln_f(p["transformer"]["ln_f"], x)
         logits = jax.lax.dot_general(
             x, p["transformer"]["wte"]["weight"].astype(x.dtype),

@@ -39,7 +39,8 @@ EVAL = Ctx(rng=None, train=False)
 def decoder_step(model, p, tok_ids: jax.Array, cache: KVCache,
                  pos_offset, cross: Optional[jax.Array],
                  use_flash: bool = True,
-                 inputs_embeds: Optional[jax.Array] = None):
+                 inputs_embeds: Optional[jax.Array] = None,
+                 cross_kv=None):
     """One cached decoder forward on a (B, t) token chunk (or directly on
     embeddings, for soft-prompt prefill of prefix-causal decoders).
 
@@ -47,9 +48,17 @@ def decoder_step(model, p, tok_ids: jax.Array, cache: KVCache,
     ref = CacheRef(cache)
     logits, _ = model.decoder(
         p["decoder"], idx=tok_ids, inputs_embeds=inputs_embeds,
-        cross_attn_embeds=cross, attn_msk=None,
-        kv_cache=ref, pos_offset=pos_offset, ctx=EVAL, use_flash=use_flash)
+        cross_attn_embeds=None if cross_kv else cross, attn_msk=None,
+        kv_cache=ref, pos_offset=pos_offset, ctx=EVAL, use_flash=use_flash,
+        cross_kv=cross_kv)
     return logits, ref.advanced()
+
+
+def precompute_cross_kv(model, p, cross: Optional[jax.Array]):
+    """Per-layer cross-attention K/V for decoders that support it."""
+    if cross is None or not hasattr(model.decoder, "precompute_cross_kv"):
+        return None
+    return model.decoder.precompute_cross_kv(p["decoder"], cross)
 
 
 def _sample_step(model, ids_buf, cur_len, last_logits, rng, temperature,
@@ -114,6 +123,7 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
             cache = model.decoder.init_cache(bs, total, encoder_output.dtype)
             logits, cache = decoder_step(model, p, prompt_ids, cache, off,
                                          cross, use_flash)
+        cross_kv = precompute_cross_kv(model, p, cross)
 
         def body(i, carry):
             ids_buf, cache, last_logits, rng = carry
@@ -124,7 +134,8 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
             ids_buf = jax.lax.dynamic_update_slice(ids_buf, nxt[:, None],
                                                    (0, cur))
             logits, cache = decoder_step(model, p, nxt[:, None], cache,
-                                         off + cur, cross, use_flash)
+                                         off + cur, cross, use_flash,
+                                         cross_kv=cross_kv)
             return ids_buf, cache, logits[:, -1], rng
 
         ids_buf, _, _, _ = jax.lax.fori_loop(

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from image2text_tpu.nn.core import Ctx
-from image2text_tpu.models.generation import decoder_step
+from image2text_tpu.models.generation import decoder_step, precompute_cross_kv
 from image2text_tpu.models.sampling import (
     apply_top_k,
     gumbel_topk_sample,
@@ -153,8 +153,10 @@ class BeamSearchTokenGenerator:
                     model, p, ids.reshape(bw * bs, t0), cache, off, cross,
                     use_flash)
             last_logits = logits[:, -1]
+            cross_kv = precompute_cross_kv(model, p, cross)
         else:
             cache = None
+            cross_kv = None
             last_logits = self._full_logits(p, ids_buf, t0, encoder_output,
                                             use_flash)
 
@@ -187,9 +189,11 @@ class BeamSearchTokenGenerator:
             if use_cache:
                 order = (beams_idx.T * bs + jnp.arange(bs)[None, :]).reshape(-1)
                 cache = cache.gather_batch(order)
+                # cross K/V needs no beam shuffle: every beam of a sample
+                # shares that sample's encoder output
                 logits, cache = decoder_step(
                     model, p, chosen_ids.reshape(bw * bs, 1), cache,
-                    off + cur_len, cross, use_flash)
+                    off + cur_len, cross, use_flash, cross_kv=cross_kv)
                 last_logits = logits[:, -1]
             else:
                 last_logits = self._full_logits(

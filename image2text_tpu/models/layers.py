@@ -428,7 +428,8 @@ class TransformerBlock(Module):
             self.null_connector = None
 
     def forward(self, p, x_orig, cross_attn_inputs=None, attn_mask=None,
-                ctx: Ctx = Ctx(), use_flash: bool = True, kv_cache=None, **kwargs):
+                ctx: Ctx = Ctx(), use_flash: bool = True, kv_cache=None,
+                cross_kv=None, **kwargs):
         if kv_cache is not None:
             assert not self.is_sparse, \
                 "KV-cached decode does not support sparse attention; use the " \
@@ -453,13 +454,13 @@ class TransformerBlock(Module):
         x = x + self.attn(p["attn"], self.ln_1(p["ln_1"], x), mask=attn_mask,
                           ctx=ctx.fold(1), use_flash=use_flash,
                           kv_cache=kv_cache, causal=causal)
-        if cross_attn_inputs is not None:
+        if cross_attn_inputs is not None or cross_kv is not None:
             if not self.is_cross_attn:
                 raise ValueError("Model not configured for cross attn inputs!!!")
             x = x + self.cross_attn(p["cross_attn"],
                                     self.ln_3(p["ln_3"], x),
                                     cross_attn_inputs, cross_attn_inputs,
-                                    ctx=ctx.fold(2))
+                                    ctx=ctx.fold(2), precomputed_kv=cross_kv)
         x = x + self.mlp(p["mlp"], self.ln_2(p["ln_2"], x), ctx=ctx.fold(3))
         x = normalize_gradients(x)
         if not self.is_sparse:

@@ -168,18 +168,37 @@ class MultiheadAttention(Module):
         self.add("out_proj", out_proj)
         self.out_proj = out_proj
 
-    def forward(self, p, query, key, value, ctx: Ctx = Ctx(), **kwargs):
+    def project_kv(self, p, key, value):
+        """Precompute split-head K/V for a fixed memory (decode-time
+        cross-attention: the encoder output never changes, so these
+        projections run once per sequence instead of once per token)."""
         e = self.embed_dim
-        w = p["in_proj_weight"].astype(query.dtype)
-        b = p["in_proj_bias"].astype(query.dtype)
-        q = query @ w[:e].T + b[:e]
+        w = p["in_proj_weight"].astype(key.dtype)
+        b = p["in_proj_bias"].astype(key.dtype)
         k = key @ w[e:2 * e].T + b[e:2 * e]
         v = value @ w[2 * e:].T + b[2 * e:]
 
         def split_heads(t):
+            return t.reshape(*t.shape[:-1], self.num_heads,
+                             self.head_dim).swapaxes(-3, -2)
+
+        return split_heads(k), split_heads(v)
+
+    def forward(self, p, query, key, value, ctx: Ctx = Ctx(),
+                precomputed_kv=None, **kwargs):
+        e = self.embed_dim
+        w = p["in_proj_weight"].astype(query.dtype)
+        b = p["in_proj_bias"].astype(query.dtype)
+        q = query @ w[:e].T + b[:e]
+
+        def split_heads(t):
             return t.reshape(*t.shape[:-1], self.num_heads, self.head_dim).swapaxes(-3, -2)
 
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        q = split_heads(q)
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+        else:
+            k, v = self.project_kv(p, key, value)
         scores = jnp.einsum("...hqd,...hkd->...hqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(self.head_dim)
