@@ -1,0 +1,93 @@
+"""Parameter sharding rules: tensor parallelism over the mesh 'model' axis.
+
+The reference has no parallelism beyond DDP (SURVEY §2.3); this is the
+TPU-native extension for decoders too large for one chip's HBM.  TP here is
+*sharding-annotation-only*: parameters get ``NamedSharding`` placements by
+fnmatch rule (Megatron-style column/row splits of attention and MLP
+projections), inputs stay data-sharded, and XLA inserts the all-reduces
+over ICI — no hand-written collectives.
+
+Linear weights are torch layout (out, in):
+* column-parallel (shard the OUT dim, P('model', None)): QKV / gate / up /
+  c_fc projections — each shard computes its slice of heads/neurons;
+* row-parallel (shard the IN dim, P(None, 'model')): output projections
+  (c_proj / o_proj / down_proj) — partial sums all-reduced by XLA.
+* everything else (embeddings, norms, biases of row-parallel layers,
+  encoder) stays replicated.
+
+The MoE stacked-expert einsum gets expert parallelism for free when its
+per-expert leaves shard over 'model' via the expert index — left for a
+later milestone; these rules cover the dense zoo.
+"""
+from __future__ import annotations
+
+import fnmatch
+from typing import Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from image2text_tpu.utils.tree import flatten, unflatten
+
+# fnmatch pattern → 'col' (shard out dim) | 'row' (shard in dim)
+TP_RULES = (
+    # scratch decoder / HF GPT-2
+    ("*attn.c_attn.weight", "col"),
+    ("*attn.q_attn.weight", "col"),
+    ("*attn.c_proj.weight", "row"),
+    ("*mlp.c_fc.weight", "col"),
+    ("*mlp.c_proj.weight", "row"),
+    # scratch MQA
+    ("*attn.q_proj.weight", "col"),
+    ("*attn.out_proj.weight", "row"),
+    # Llama/Qwen
+    ("*self_attn.q_proj.weight", "col"),
+    ("*self_attn.k_proj.weight", "col"),
+    ("*self_attn.v_proj.weight", "col"),
+    ("*self_attn.o_proj.weight", "row"),
+    ("*mlp.gate_proj.weight", "col"),
+    ("*mlp.up_proj.weight", "col"),
+    ("*mlp.down_proj.weight", "row"),
+    # Falcon
+    ("*self_attention.query_key_value.weight", "col"),
+    ("*self_attention.dense.weight", "row"),
+    ("*mlp.dense_h_to_4h.weight", "col"),
+    ("*mlp.dense_4h_to_h.weight", "row"),
+)
+
+
+def _spec_for(path: str, shape, model_size: int):
+    for pattern, kind in TP_RULES:
+        if fnmatch.fnmatch(path, pattern):
+            if kind == "col" and len(shape) == 2 and shape[0] % model_size == 0:
+                return P("model", None)
+            if kind == "row" and len(shape) == 2 and shape[1] % model_size == 0:
+                return P(None, "model")
+            return P()  # indivisible: replicate rather than fail
+    # biases of column-parallel layers follow their weight's out split
+    if path.endswith("bias"):
+        wpath = path[: -len("bias")] + "weight"
+        for pattern, kind in TP_RULES:
+            if kind == "col" and fnmatch.fnmatch(wpath, pattern) \
+                    and len(shape) == 1 and shape[0] % model_size == 0:
+                return P("model")
+    return P()
+
+
+def tp_param_shardings(params, mesh: Mesh) -> Dict:
+    """Pytree of NamedShardings mirroring ``params`` (replicated where no
+    rule applies or the mesh has no model axis)."""
+    model_size = mesh.shape.get("model", 1)
+    flat = flatten(params)
+    out = {}
+    for path, value in flat.items():
+        spec = _spec_for(path, value.shape, model_size) if model_size > 1 \
+            else P()
+        out[path] = NamedSharding(mesh, spec)
+    return unflatten(out)
+
+
+def place_params(params, mesh: Mesh):
+    """device_put the parameter tree with TP shardings."""
+    shardings = tp_param_shardings(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

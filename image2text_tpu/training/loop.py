@@ -161,22 +161,29 @@ class Trainer:
         self.logging_callback = logging_callback
         self.tx, self.labels, self.matchers = build_optimizer(
             wrapper, params, config.optimizers, use_snr=config.use_snr_optim)
+        rep = replicated(self.mesh)
+        if self.mesh.shape.get("model", 1) > 1:
+            # tensor parallelism: Megatron-style column/row weight shardings
+            # over the 'model' axis; optimizer moments inherit the
+            # placements through zeros_like in tx.init
+            from image2text_tpu.parallel.sharding_rules import place_params
+
+            params = place_params(params, self.mesh)
+        else:
+            params = jax.device_put(params, rep)
         opt_state = self.tx.init(params)
         self.state = TrainState(params, opt_state,
-                                jnp.zeros((), jnp.int32))
-        rep = replicated(self.mesh)
-        data = data_sharding(self.mesh)
-        self.state = jax.device_put(self.state, rep)
+                                jax.device_put(jnp.zeros((), jnp.int32), rep))
         use_flash = not config.disable_flash
+        # shardings are carried by the (committed) inputs: params tp-or-
+        # replicated, batches P('data') via shard_batch
         self._train_step = jax.jit(
             make_train_step(wrapper, self.tx,
                             config.gradient_accumulation_steps,
                             config.precision, use_flash),
-            in_shardings=(rep, data, data, rep),
-            out_shardings=(rep, rep), donate_argnums=(0,))
+            donate_argnums=(0,))
         self._val_step = jax.jit(
-            make_val_step(wrapper, config.precision, use_flash),
-            in_shardings=(rep, data, data), out_shardings=(rep, rep))
+            make_val_step(wrapper, config.precision, use_flash))
         self.rng = jax.random.PRNGKey(config.seed)
 
     # -- loops (reference training/utils.py:63-164) -------------------------

@@ -26,6 +26,22 @@ def test_resize_normalize_matches_numpy():
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
 
 
+def test_on_device_preprocess_matches_host_paths():
+    """XLA fused preprocessing == C++/numpy host paths (same bilinear
+    half-pixel semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image2text_tpu.ops.preprocess import resize_normalize_on_device
+
+    rng = np.random.default_rng(2)
+    images = rng.integers(0, 256, (2, 41, 67, 3), np.uint8)
+    dev = np.asarray(jax.jit(
+        lambda x: resize_normalize_on_device(x, 32))(jnp.asarray(images)))
+    host = resize_normalize_batch(images, 32, FLICKR_MEAN, FLICKR_STD)
+    np.testing.assert_allclose(dev, host, atol=1e-4, rtol=1e-4)
+
+
 def test_upscale_and_identity_sizes():
     rng = np.random.default_rng(1)
     images = rng.integers(0, 256, (2, 16, 16, 3), np.uint8)

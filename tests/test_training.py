@@ -232,6 +232,40 @@ def test_frozen_params_get_zero_updates():
 # End-to-end smoke train on the 8-device mesh
 # ---------------------------------------------------------------------------
 
+def test_tensor_parallel_matches_data_parallel():
+    """One train step on a dp4×tp2 mesh equals the dp8 step (Megatron
+    column/row shardings are annotation-only; XLA's collectives must not
+    change the math)."""
+    from image2text_tpu.configs.trainer import MeshConfig
+    from image2text_tpu.parallel.mesh import make_mesh, shard_batch
+    from image2text_tpu.training.loop import Trainer
+
+    cfg_model = tiny_config(use_cross_attn=True)
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.standard_normal((8, 3, 64, 64)), jnp.float32)
+    lb = jnp.asarray(np.where(rng.random((8, 24)) < 0.7,
+                              rng.integers(2, 1000, (8, 24)), -100))
+
+    losses = {}
+    for name, mesh_cfg in (("dp8", MeshConfig(data=8, model=1)),
+                           ("dp4tp2", MeshConfig(data=4, model=2))):
+        config = TrainingConfig(
+            model=cfg_model, batch_size=8, epochs=1, num_steps=1,
+            num_val_steps=1, tokenizer_str="synthetic",
+            trainer=TrainerWrapperConfig(),
+            optimizers=[OptimizerConfig(lr=1e-3)], dataset="synthetic",
+            mesh=mesh_cfg)
+        wrapper = ModelTrainerWrapper(cfg_model, TOK, config.trainer)
+        params = wrapper.init(KEY)
+        trainer = Trainer(config, wrapper, params, mesh=make_mesh(mesh_cfg))
+        ims, lbs = shard_batch(trainer.mesh, im, lb)
+        for _ in range(2):
+            trainer.state, metrics = trainer._train_step(
+                trainer.state, ims, lbs, jax.random.PRNGKey(5))
+        losses[name] = float(metrics["train_loss_lm"])
+    np.testing.assert_allclose(losses["dp8"], losses["dp4tp2"], rtol=1e-4)
+
+
 def test_smoke_train_loss_decreases():
     cfg_model = tiny_config()
     config = TrainingConfig(
