@@ -42,10 +42,8 @@ def main():
 
     dev = jax.devices()[0]
     cfg = _flagship_config(tiny=False)
-    # serving configuration: dense decoder attention so the KV-cached decode
-    # path applies (sparse attention is a training-time FLOPs lever; its
-    # generation parity path re-forwards the full window per token)
-    cfg.model.decoder_config.transformer_config.is_sparse_attn = False
+    # the true flagship config, sparse decoder included: sparse layers decode
+    # against rank-among-selected KV-cache slots
     model = VisionEncoderDecoder(cfg.model)
     params = jax.device_put(model.init(jax.random.PRNGKey(0)), dev)
     params = jax.tree_util.tree_map(

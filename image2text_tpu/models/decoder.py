@@ -188,10 +188,18 @@ class TransformerDecoder(Decoder):
             f"Cannot forward sequence of length {t}, block size is only "
             f"{self.block_size}")
 
+        import numpy as np
+
         if pos_offset is None:
-            positions = jnp.arange(t)
+            positions = np.arange(t)
+        elif isinstance(pos_offset, (int, np.integer)):
+            # static chunk positions (e.g. generation prefill): keep numpy
+            # so sparse blocks can resolve their selections at trace time
+            positions = pos_offset + np.arange(t)
         else:
             positions = pos_offset + jnp.arange(t)
+        if kv_cache is not None:
+            kv_cache.positions = positions
         if self.use_advanced_pos_emb:
             if pos_offset is None:
                 x = self.wpe(p["transformer"]["wpe"], inputs_embeds, ctx=ctx.fold(1))
@@ -234,12 +242,12 @@ class TransformerDecoder(Decoder):
     # -- KV-cached decoding --------------------------------------------------
     @property
     def supports_kv_cache(self) -> bool:
-        return not self.config.transformer_config.is_sparse_attn
+        return True  # incl. sparse layers (rank-among-selected cache slots)
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
         from image2text_tpu.models.kv_cache import KVCache
 
-        shapes = [blk.attn.kv_shape(batch, max_len) for blk in self.blocks]
+        shapes = [blk.cache_shape(batch, max_len) for blk in self.blocks]
         return KVCache.create(shapes, dtype)
 
     @property

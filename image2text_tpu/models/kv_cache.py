@@ -30,10 +30,14 @@ import jax.numpy as jnp
 
 
 class KVCache(NamedTuple):
-    """Per-layer K/V buffers; ``index`` is the number of filled positions."""
+    """Per-layer K/V buffers with *per-layer* fill indices.
+
+    Dense layers advance their index by the chunk length every step; sparse
+    layers advance only when the token's position is in that layer's static
+    selection (their buffers hold slots for selected text positions only)."""
 
     layers: Tuple[Tuple[jax.Array, jax.Array], ...]
-    index: jax.Array  # scalar int32
+    index: jax.Array  # (n_layers,) int32
 
     @property
     def max_len(self) -> int:
@@ -45,7 +49,8 @@ class KVCache(NamedTuple):
         """layer_shapes: per layer (batch, n_kv_heads, max_len, head_dim)."""
         layers = tuple(
             (jnp.zeros(s, dtype), jnp.zeros(s, dtype)) for s in layer_shapes)
-        return KVCache(layers=layers, index=jnp.zeros((), jnp.int32))
+        return KVCache(layers=layers,
+                       index=jnp.zeros((len(layers),), jnp.int32))
 
     def gather_batch(self, order: jax.Array) -> "KVCache":
         """Reorder the batch axis (beam-search consolidation shuffle)."""
@@ -59,52 +64,75 @@ class CacheRef:
     One CacheRef serves exactly one decoder forward; attention layers claim
     slots in call order via :meth:`update`.  Call :meth:`advanced` afterwards
     to obtain the functional successor cache.
+
+    ``positions`` (set by the decoder) carries the chunk's global positions
+    so sparse blocks can resolve their static token selections.
     """
 
     def __init__(self, cache: KVCache):
         self._cache = cache
         self._new_layers: List[Tuple[jax.Array, jax.Array]] = list(cache.layers)
+        self._advances: List = [None] * len(cache.layers)
         self._layer = 0
-        self._t: Optional[int] = None
+        self.positions = None  # chunk global positions (np or jnp array)
 
     @property
     def index(self) -> jax.Array:
         return self._cache.index
 
     def update(self, k_new: jax.Array, v_new: jax.Array,
-               mask: Optional[jax.Array]):
-        """Write k/v rows at the fill index; return full (k, v, bias).
+               mask: Optional[jax.Array], write=None):
+        """Write k/v rows at this layer's fill index; return (k, v, bias).
 
-        ``bias`` is the additive causal mask over global positions:
-        query row i (global position index+i) attends key j iff
-        j <= index + i.  Unfilled slots are strictly future, so this also
-        masks them.  Any provided ``mask`` (bias over the full cache length)
-        is added.
+        ``bias`` is the additive causal mask over slots: query row i (slot
+        index+i) attends slot j iff j <= index + i.  Unfilled slots are
+        strictly future, so this also masks them.  Any provided ``mask``
+        (bias over the full cache length) is added.
+
+        ``write`` (optional traced bool) gates the write for sparse layers
+        during single-token decode: when False the buffers and index are
+        unchanged and the returned bias keeps only already-filled slots —
+        the attention output for that token is discarded by the caller.
         """
         i = self._layer
         self._layer += 1
         k_buf, v_buf = self._cache.layers[i]
-        idx = self._cache.index
+        idx = self._cache.index[i]
         t = k_new.shape[2]
-        if self._t is None:
-            self._t = t
-        else:
-            assert self._t == t, "all layers must see the same chunk length"
         k = jax.lax.dynamic_update_slice_in_dim(
             k_buf, k_new.astype(k_buf.dtype), idx, axis=2)
         v = jax.lax.dynamic_update_slice_in_dim(
             v_buf, v_new.astype(v_buf.dtype), idx, axis=2)
+        if write is not None:
+            assert t == 1, "gated writes are single-token decode only"
+            w = jnp.asarray(write)
+            k = jnp.where(w, k, k_buf)
+            v = jnp.where(w, v, v_buf)
+            advance = w.astype(jnp.int32)
+            row = idx + advance - 1 + jnp.arange(t)[:, None]
+        else:
+            advance = jnp.asarray(t, jnp.int32)
+            row = idx + jnp.arange(t)[:, None]
         self._new_layers[i] = (k, v)
+        self._advances[i] = advance
         max_len = k_buf.shape[2]
-        row = idx + jnp.arange(t)[:, None]
         col = jnp.arange(max_len)[None, :]
         bias = jnp.where(col <= row, 0.0, -jnp.inf)[None, None]  # (1,1,t,L)
         if mask is not None:
             bias = bias + mask
         return k, v, bias
 
+    def skip(self) -> None:
+        """Claim this layer's slot without touching it (a sparse layer whose
+        chunk contains no selected positions still must keep call order)."""
+        self._advances[self._layer] = jnp.zeros((), jnp.int32)
+        self._layer += 1
+
     def advanced(self) -> KVCache:
-        """The cache after this forward: buffers updated, index advanced."""
-        assert self._t is not None, "no layer consumed the cache"
+        """The cache after this forward: buffers updated, indices advanced."""
+        assert any(a is not None for a in self._advances), \
+            "no layer consumed the cache"
+        adv = jnp.stack([jnp.asarray(a if a is not None else 0, jnp.int32)
+                         for a in self._advances])
         return KVCache(layers=tuple(self._new_layers),
-                       index=self._cache.index + self._t)
+                       index=self._cache.index + adv)

@@ -291,7 +291,7 @@ class MultiHeadAttention(SelfAttention):
         return (batch, self.n_head, max_len, self.n_embd // self.n_head)
 
     def forward(self, p, x, mask=None, ctx: Ctx = Ctx(), use_flash: bool = True,
-                kv_cache=None, causal: bool = False, **kwargs):
+                kv_cache=None, causal: bool = False, cache_write=None, **kwargs):
         b, t, c = x.shape
         hd = c // self.n_head
         qkv = self.c_attn(p["c_attn"], x)
@@ -305,7 +305,7 @@ class MultiHeadAttention(SelfAttention):
         v = v_do.astype(x.dtype) * heads(v)
 
         if kv_cache is not None:
-            k, v, mask = kv_cache.update(k, v, mask)
+            k, v, mask = kv_cache.update(k, v, mask, write=cache_write)
 
         y = sdpa(q, k, v, mask=mask,
                  dropout_rate=self.resid_dropout if ctx.train else 0.0,
@@ -337,7 +337,7 @@ class MultiQueryAttention(SelfAttention):
         return (batch, 1, max_len, self.n_embd // self.n_head)
 
     def forward(self, p, x, mask=None, ctx: Ctx = Ctx(), use_flash: bool = True,
-                kv_cache=None, causal: bool = False, **kwargs):
+                kv_cache=None, causal: bool = False, cache_write=None, **kwargs):
         b, t, c = x.shape
         hd = c // self.n_head
         q = self.q_proj(p["q_proj"], x)
@@ -350,7 +350,7 @@ class MultiQueryAttention(SelfAttention):
         v = v_do.astype(x.dtype) * v.reshape(b, t, 1, hd).transpose(0, 2, 1, 3)
 
         if kv_cache is not None:
-            k, v, mask = kv_cache.update(k, v, mask)
+            k, v, mask = kv_cache.update(k, v, mask, write=cache_write)
 
         y = sdpa(q, k, v, mask=mask,
                  dropout_rate=self.resid_dropout if ctx.train else 0.0,
@@ -412,6 +412,7 @@ class TransformerBlock(Module):
             self.cross_attn = None
             self.ln_3 = None
         self.is_sparse = config.is_sparse_attn
+        self.n_cls = n_cls
         if self.is_sparse:
             assert config.max_block_size is not None, \
                 "need to specify max_block_size for sparse attention"
@@ -420,6 +421,9 @@ class TransformerBlock(Module):
             # static numpy copies drive the gathers; the buffers keep
             # checkpoint-key parity with the reference's registered buffers
             self.idx_np, self.not_idx_np = idx, not_idx
+            sel = np.zeros(config.max_block_size, bool)
+            sel[idx] = True
+            self._sel_mask_np = sel
             self.buffer("input_mask_idx", idx)
             self.buffer("input_mask_not_idx", not_idx)
             self.null_connector = self.add(
@@ -427,13 +431,23 @@ class TransformerBlock(Module):
         else:
             self.null_connector = None
 
+    def cache_shape(self, batch: int, max_len: int):
+        """Per-layer KV-cache shape: dense layers need ``max_len`` slots;
+        sparse layers only hold their selected TEXT positions within the
+        decode window [n_cls, n_cls + max_len)."""
+        if not self.is_sparse:
+            return self.attn.kv_shape(batch, max_len)
+        n_sel = int(((self.idx_np >= self.n_cls)
+                     & (self.idx_np < self.n_cls + max_len)).sum())
+        return self.attn.kv_shape(batch, max(n_sel, 1))
+
     def forward(self, p, x_orig, cross_attn_inputs=None, attn_mask=None,
                 ctx: Ctx = Ctx(), use_flash: bool = True, kv_cache=None,
                 cross_kv=None, **kwargs):
-        if kv_cache is not None:
-            assert not self.is_sparse, \
-                "KV-cached decode does not support sparse attention; use the " \
-                "full-reforward generation fallback"
+        if self.is_sparse and kv_cache is not None:
+            return self._sparse_cached_forward(
+                p, x_orig, cross_attn_inputs, attn_mask, ctx, use_flash,
+                kv_cache, cross_kv)
         if self.is_sparse:
             t = x_orig.shape[1]
             idx = self.idx_np[self.idx_np < t]
@@ -471,6 +485,64 @@ class TransformerBlock(Module):
         x_final = x_final.at[:, not_idx].set(
             bypass + self.null_connector(p["null_connector"], bypass))
         return x_final
+
+    # -- sparse attention with a KV cache ------------------------------------
+    def _sparse_cached_forward(self, p, x_orig, cross_attn_inputs, attn_mask,
+                               ctx: Ctx, use_flash: bool, kv_cache, cross_kv):
+        """Cached decode for random-sparse layers.
+
+        Selection indices are static per depth, so cache slots are simply
+        ranks among selected text positions and the CacheRef's
+        causal-over-slots bias is the correct mask (slot order == position
+        order).  Prefill (static chunk positions) gathers the selected
+        subset; single-token decode gates the cache write and selects
+        between the attention path and the null bypass.
+        """
+        assert attn_mask is None, \
+            "sparse cached decode is generation-only (no padding masks)"
+        positions = kv_cache.positions
+        assert positions is not None, "decoder must set CacheRef.positions"
+        t = x_orig.shape[1]
+
+        def body(x, write=None):
+            x = x + self.attn(p["attn"], self.ln_1(p["ln_1"], x), mask=None,
+                              ctx=ctx.fold(1), use_flash=use_flash,
+                              kv_cache=kv_cache, cache_write=write)
+            if cross_attn_inputs is not None or cross_kv is not None:
+                x = x + self.cross_attn(p["cross_attn"],
+                                        self.ln_3(p["ln_3"], x),
+                                        cross_attn_inputs, cross_attn_inputs,
+                                        ctx=ctx.fold(2), precomputed_kv=cross_kv)
+            x = x + self.mlp(p["mlp"], self.ln_2(p["ln_2"], x), ctx=ctx.fold(3))
+            return normalize_gradients(x)
+
+        def null_path(z):
+            return z + self.null_connector(p["null_connector"], z)
+
+        if isinstance(positions, np.ndarray):
+            # prefill: static positions → static selected subset
+            local = [i for i in range(t)
+                     if positions[i] < len(self._sel_mask_np)
+                     and self._sel_mask_np[positions[i]]]
+            if not local:
+                kv_cache.skip()
+                return null_path(x_orig)
+            local = np.asarray(local)
+            not_local = np.asarray(sorted(set(range(t)) - set(local.tolist())))
+            x = body(jnp.take(x_orig, local, axis=1))
+            x_final = jnp.zeros_like(x_orig)
+            x_final = x_final.at[:, local].set(x.astype(x_orig.dtype))
+            if len(not_local):
+                bypass = jnp.take(x_orig, not_local, axis=1)
+                x_final = x_final.at[:, not_local].set(null_path(bypass))
+            return x_final
+
+        # single-token decode: traced position → gated write + select
+        assert t == 1, "traced-position sparse decode is single-token"
+        pos = jnp.asarray(positions)[0]
+        selected = jnp.take(jnp.asarray(self._sel_mask_np), pos, mode="clip")
+        x = body(x_orig, write=selected)
+        return jnp.where(selected, x, null_path(x_orig))
 
 
 # ---------------------------------------------------------------------------

@@ -81,14 +81,42 @@ def test_generate_shape_and_prompt_preserved():
     np.testing.assert_array_equal(np.asarray(out[:, :2]), np.asarray(prompt))
 
 
-def test_generate_sparse_model_uses_fallback():
+def test_generate_sparse_cached_equals_fallback():
+    """Sparse-attention decoders decode against rank-among-selected cache
+    slots; results must equal the reference-parity full-reforward path."""
     model, params, img = _model_and_inputs(sparse=True, advanced_pos_emb=True,
                                            block_size=64)
-    assert not model.decoder.supports_kv_cache
-    prompt = jnp.asarray([[1], [2]])
-    out = model.generate(params, img, prompt, max_new_tokens=5,
-                         temperature=0.0)
-    assert out.shape == (2, 6)
+    assert model.decoder.supports_kv_cache
+    for t0 in (1, 4):  # prefill with and without selected prompt positions
+        prompt = jnp.asarray(np.arange(1, 1 + t0)[None].repeat(2, 0))
+        for kwargs in (dict(temperature=0.0),
+                       dict(temperature=0.8, top_k=8,
+                            rng=jax.random.PRNGKey(3))):
+            fast = model.generate(params, img, prompt, max_new_tokens=8,
+                                  **kwargs)
+            slow = model.generate(params, img, prompt, max_new_tokens=8,
+                                  force_no_cache=True, **kwargs)
+            np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow),
+                                          err_msg=f"t0={t0} {kwargs}")
+
+
+def test_beam_search_sparse_cached_equals_fallback():
+    model, params, img = _model_and_inputs(sparse=True, block_size=64)
+    gen = BeamSearchTokenGenerator(model, beam_width=2, temperature=0.0,
+                                   max_new_tokens=5, beam_expansion_factor=2,
+                                   consolidation_temperature=0.0)
+    prompt = jnp.asarray([[1, 2], [3, 4]])
+    ids_fast, sc_fast = gen(params, img, prompt)
+    cls = model.decoder.__class__
+    orig = cls.supports_kv_cache
+    try:
+        cls.supports_kv_cache = property(lambda self: False)
+        ids_slow, sc_slow = gen(params, img, prompt)
+    finally:
+        cls.supports_kv_cache = orig
+    np.testing.assert_array_equal(np.asarray(ids_fast), np.asarray(ids_slow))
+    np.testing.assert_allclose(np.asarray(sc_fast), np.asarray(sc_slow),
+                               atol=1e-4)
 
 
 def test_generate_jit():
