@@ -76,14 +76,20 @@ class WrapperDataLoader:
 class SyntheticFlickrDataset:
     """Deterministic Flickr30K-shaped batches for offline runs.
 
-    Captions are drawn from a 64-template token process so the LM loss has
-    learnable structure; attn masks mimic HF padding (ones through the
-    caption, then zeros)."""
+    Image-conditional by construction: each row draws a latent class whose
+    visual signature (a fixed random pattern) is added to the image, and all
+    5 captions come from that class's token template (with jitter) — so an
+    encoder-decoder genuinely has to *look at the image* to caption it, and
+    BLEU/CIDEr on held-out rows measure real learning.  Attn masks mimic HF
+    padding (ones through the caption, then zeros)."""
+
+    NUM_CLASSES = 16
 
     def __init__(self, num_rows: int, batch_size: int, image_size: int = 128,
                  seq_len: int = 256, vocab_size: int = 1024,
                  eos_token_id: int = 0, seed: int = 0,
-                 caption_len_range: Tuple[int, int] = (6, 18)):
+                 caption_len_range: Tuple[int, int] = (6, 18),
+                 class_signal: float = 1.5):
         self.num_rows = num_rows
         self.batch_size = batch_size
         self.image_size = image_size
@@ -92,17 +98,23 @@ class SyntheticFlickrDataset:
         self.eos = eos_token_id
         self.seed = seed
         self.caption_len_range = caption_len_range
-        rng = np.random.default_rng(seed + 999)
+        self.class_signal = class_signal
+        # class-shared assets use a FIXED seed: train/val splits built with
+        # different `seed`s must agree on what each class looks like
+        rng = np.random.default_rng(12345)
         self.templates = rng.integers(
-            1, vocab_size, (64, caption_len_range[1])).astype(np.int64)
+            1, vocab_size,
+            (self.NUM_CLASSES, caption_len_range[1])).astype(np.int64)
+        self.patterns = rng.standard_normal(
+            (self.NUM_CLASSES, 3, image_size, image_size)).astype(np.float32)
 
     def __len__(self):
         return max(1, self.num_rows // self.batch_size)
 
-    def _caption(self, rng) -> Tuple[np.ndarray, np.ndarray]:
+    def _caption(self, rng, cls: int) -> Tuple[np.ndarray, np.ndarray]:
         lo, hi = self.caption_len_range
         n = int(rng.integers(lo, hi))
-        t = self.templates[int(rng.integers(0, len(self.templates)))][:n].copy()
+        t = self.templates[cls][:n].copy()
         # small jitter so captions vary
         flip = rng.random(n) < 0.1
         t[flip] = rng.integers(1, self.vocab_size, flip.sum())
@@ -116,12 +128,14 @@ class SyntheticFlickrDataset:
         rng = np.random.default_rng(self.seed)
         for _ in range(len(self)):
             b = self.batch_size
-            batch = {
-                "image": rng.standard_normal(
-                    (b, 3, self.image_size, self.image_size)).astype(np.float32),
-            }
+            classes = rng.integers(0, self.NUM_CLASSES, b)
+            images = rng.standard_normal(
+                (b, 3, self.image_size, self.image_size)).astype(np.float32)
+            images += self.class_signal * self.patterns[classes]
+            batch = {"image": images}
             for k in range(5):
-                ids, masks = zip(*(self._caption(rng) for _ in range(b)))
+                ids, masks = zip(*(self._caption(rng, int(c))
+                                   for c in classes))
                 batch[f"input_ids_{k}"] = np.stack(ids)
                 batch[f"attn_mask_{k}"] = np.stack(masks)
             yield batch
