@@ -1,33 +1,40 @@
-"""Pallas TPU flash attention (forward).
+"""Pallas TPU flash attention (forward + backward).
 
-Online-softmax tiled attention: grid (batch·heads, q-blocks, kv-blocks) with
-the kv loop innermost; running max/denominator and the output accumulator
-live in VMEM scratch across kv steps, so the (sq, skv) score matrix never
-materialises in HBM.  This replaces the reference's reliance on torch SDPA
-CUDA flash kernels (reference models/layers.py:424,465); the XLA einsum
-path in ops/attention.py remains the ``disable_flash`` parity fallback and
-the training path (backward kernel lands in a later milestone — sdpa only
-dispatches here when dropout is off, and gradients fall back automatically
-via ``flash_attention_compatible`` returning None under ad tracing... we
-instead gate on concrete arrays).
+Forward: online-softmax tiled attention — grid (batch·heads, q-blocks,
+kv-blocks) with the kv loop innermost; running max/denominator and the
+output accumulator live in VMEM scratch across kv steps, so the (sq, skv)
+score matrix never materialises in HBM.  This replaces the reference's
+reliance on torch SDPA CUDA flash kernels (reference models/layers.py:424,
+465); the XLA einsum path in ops/attention.py remains the ``disable_flash``
+parity fallback.
 
-Masking: callers pass additive fp32 biases (possibly -inf).  The wrapper
-clamps -inf to a large negative finite value; fully-masked rows then
-produce a harmless uniform average instead of NaN — the same positions the
-reference zeroes out, which never feed the loss (padding rows carry zero
-loss weight).
+Backward: FlashAttention-2-style recompute kernels —
+* dK/dV kernel: grid (bh, kv-blocks, q-blocks), accumulating
+  dV_j += Pᵀ dO and dK_j += dSᵀ q over the q loop;
+* dQ kernel: grid (bh, q-blocks, kv-blocks), accumulating dQ_i += dS k;
+with P recomputed from the saved per-row logsumexp, and
+D = rowsum(dO ∘ O) precomputed in XLA.  MQA/GQA dK/dV are computed
+per-query-head and reduced outside the kernel.
 
-Layout notes (MXU/VPU):
-* head_dim is padded to a multiple of 128 lanes (zero K/Q columns do not
-  change scores; zero V columns produce zero output columns, sliced off);
-* q blocks padded to a multiple of 8 sublanes;
-* MQA (1 shared KV head) indexes the same KV block for every query head —
-  no broadcast materialisation.
+Masking: callers pass additive fp32 biases (possibly -inf; clamped to a
+large negative finite value in-kernel — fully-masked rows produce a
+harmless uniform average, and those padding rows never feed the loss).
+``causal=True`` applies the decode-window mask (col <= row + skv − sq)
+inside the kernels and skips blocks outside the causal band entirely.
+
+Default tiles (512×1024 fwd) are from an on-chip sweep: measured vs XLA's
+fused attention (bf16, MQA) the forward is 1.13× faster at s=320, 3.3× at
+s=2048, 4.5× at s=4096.
+
+Layout notes (MXU/VPU): head_dim pads to a multiple of 128 lanes (zero K/Q
+columns don't change scores; zero V columns produce zero output columns,
+sliced off); q blocks pad to a multiple of 8 sublanes; MQA indexes the same
+KV block for every query head — no broadcast materialisation.
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,96 +48,64 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr,
-                  *, scale: float, kv_blocks: int, bq: int, bk: int,
-                  causal: bool, diag_offset: int):
-    ik = pl.program_id(2)
-    iq = pl.program_id(1)
+class _Prep(NamedTuple):
+    qp: jax.Array            # (b*h, sq_p, d_p)
+    kp: jax.Array            # (b*hk, skv_p, d_p)
+    vp: jax.Array
+    bias: jax.Array          # (nb, bias_rows, skv_p) fp32, -inf clamped
+    b: int
+    h: int
+    hk: int
+    sq: int
+    skv: int
+    d: int
+    sq_p: int
+    skv_p: int
+    d_p: int
+    bq: int
+    bk: int
+    nb: int
+    bias_rows: int
+    scale: float
 
-    @pl.when(ik == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+    @property
+    def diag(self) -> int:
+        return self.skv - self.sq
 
-    if causal:
-        # last kv block this q tile can see: col <= row + diag_offset
-        last_needed = jnp.minimum(
-            (iq * bq + bq - 1 + diag_offset) // bk, kv_blocks - 1)
-        active = ik <= last_needed
-    else:
-        last_needed = kv_blocks - 1
-        active = ik <= last_needed
+    def q_idx(self):
+        return lambda ibh, i, j: (ibh, i, 0)
 
-    @pl.when(active)
-    def _compute():
-        q = q_ref[0]                                   # (bq, d)
-        k = k_ref[0]                                   # (bk, d)
-        v = v_ref[0]                                   # (bk, d)
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (bq, bk)
-        s = s + b_ref[0]
-        if causal:
-            rows = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            cols = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            s = jnp.where(cols <= rows + diag_offset, s, NEG_BIG)
+    def kv_idx(self):
+        h, hk = self.h, self.hk
+        return lambda ibh, i, j: (ibh if hk == h else ibh // h, j, 0)
 
-        m_prev = m_scr[:]                              # (bq, 128) lanes equal
-        l_prev = l_scr[:]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)     # (bq, 1)
-        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-        # guard: fully-masked-so-far rows keep m=-inf; shift by a finite max
-        m_safe = jnp.maximum(m_new[:, :1], NEG_BIG)
-        p = jnp.exp(s - m_safe)                        # (bq, bk)
-        alpha = jnp.exp(jnp.maximum(m_prev, NEG_BIG) - m_safe)  # (bq, 128)
-        l_new = alpha * l_prev + jnp.broadcast_to(
-            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape)
-        acc = acc_scr[:] * alpha[:, :1] + jax.lax.dot_general(
-            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_scr[:] = m_new
-        l_scr[:] = l_new
-        acc_scr[:] = acc
+    def bias_idx(self):
+        nb, b, h, rows = self.nb, self.b, self.h, self.bias_rows
 
-    @pl.when(ik == last_needed)
-    def _finish():
-        denom = jnp.maximum(l_scr[:, :1], 1e-30)
-        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        def f(ibh, i, j):
+            n = 0 if nb == 1 else (ibh // h if nb == b else ibh)
+            return (n, i if rows > 1 else 0, j)
+
+        return f
+
+    def bias_spec(self):
+        return pl.BlockSpec((1, self.bq if self.bias_rows > 1 else 1, self.bk),
+                            self.bias_idx(), memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "causal"))
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    bias: Optional[jax.Array] = None, causal: bool = False,
-                    block_q: int = 512, block_k: int = 1024) -> jax.Array:
-    """q (b, h, sq, d); k/v (b, hk, skv, d), hk ∈ {h, 1}; additive bias
-    broadcastable to (b, h, sq, skv).  Returns (b, h, sq, d) in q.dtype.
-
-    ``causal=True`` applies the decode-window causal mask *inside* the
-    kernel (col <= row + skv − sq) and skips kv blocks above the diagonal —
-    no O(s²) bias array is materialised or streamed from HBM.
-
-    Default tiles (512×1024) are from an on-chip sweep: measured vs XLA's
-    fused attention (bf16, MQA) the kernel is 1.13× faster at s=320,
-    3.3× at s=2048, and 4.5× at s=4096; small shapes clamp the tiles to
-    the padded sequence lengths."""
+def _prepare(q, k, v, bias, block_q: int, block_k: int) -> _Prep:
     b, h, sq, d = q.shape
     _, hk, skv, _ = k.shape
     assert hk in (1, h)
-    scale = 1.0 / (d ** 0.5)
-
     bq = min(block_q, _round_up(sq, 8))
     bk = min(block_k, _round_up(skv, 128))
     sq_p, skv_p, d_p = _round_up(sq, bq), _round_up(skv, bk), _round_up(d, 128)
-
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
     qp = qp.reshape(b * h, sq_p, d_p)
     kp = kp.reshape(b * hk, skv_p, d_p)
     vp = vp.reshape(b * hk, skv_p, d_p)
-
-    # bias: clamp -inf finite, pad kv with NEG_BIG so padded keys vanish
     if bias is None:
         bias = jnp.zeros((1, 1, 1, skv), jnp.float32)
     bias = jnp.maximum(bias.astype(jnp.float32), NEG_BIG)
@@ -142,60 +117,337 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sq_p - bsq), (0, 0)))
     nb = bb * bh_
     bias = bias.reshape(nb, bias.shape[2], skv_p)
+    return _Prep(qp, kp, vp, bias, b, h, hk, sq, skv, d, sq_p, skv_p, d_p,
+                 bq, bk, nb, bias.shape[1], 1.0 / (d ** 0.5))
 
-    grid = (b * h, sq_p // bq, skv_p // bk)
-    bias_rows = bias.shape[1]
-    # CPU (tests / virtual mesh) runs the kernel in interpreter mode
-    interpret = jax.default_backend() != "tpu"
 
-    def q_idx(ibh, iq, ik):
-        return (ibh, iq, 0)
+def _interpret() -> bool:
+    # CPU (tests / virtual mesh) runs the kernels in interpreter mode
+    return jax.default_backend() != "tpu"
 
-    def kv_idx(ibh, iq, ik):
-        return (ibh if hk == h else ibh // h, ik, 0)
 
-    def b_idx(ibh, iq, ik):
-        if nb == 1:
-            n = 0
-        elif nb == b:
-            n = ibh // h
-        else:
-            n = ibh
-        return (n, iq if bias_rows > 1 else 0, ik)
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_blocks=grid[2],
-                          bq=bq, bk=bk, causal=causal,
-                          diag_offset=skv - sq),
+def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, scale, kv_blocks, bq, bk, causal,
+                diag):
+    ik = pl.program_id(2)
+    iq = pl.program_id(1)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    if causal:
+        last_needed = jnp.clip((iq * bq + bq - 1 + diag) // bk, 0,
+                               kv_blocks - 1)
+    else:
+        last_needed = kv_blocks - 1
+
+    @pl.when(ik <= last_needed)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + b_ref[0]
+        if causal:
+            rows = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            cols = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(cols <= rows + diag, s, NEG_BIG)
+
+        m_prev = m_scr[:]
+        l_prev = l_scr[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        m_safe = jnp.maximum(m_new[:, :1], NEG_BIG)
+        p = jnp.exp(s - m_safe)
+        alpha = jnp.exp(jnp.maximum(m_prev, NEG_BIG) - m_safe)
+        l_new = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape)
+        acc = acc_scr[:] * alpha[:, :1] + jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+        l_scr[:] = l_new
+        acc_scr[:] = acc
+
+    @pl.when(ik == last_needed)
+    def _finish():
+        l = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        # lse rides in an (8, bq) tile (sublane-replicated) — Mosaic needs
+        # the last two block dims divisible by (8, 128)
+        lse = jnp.maximum(m_scr[:, :1], NEG_BIG) + jnp.log(l)     # (bq, 1)
+        lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref[0].shape)
+
+
+def _flash_forward(q, k, v, bias, causal: bool, block_q: int, block_k: int):
+    pr = _prepare(q, k, v, bias, block_q, block_k)
+    grid = (pr.b * pr.h, pr.sq_p // pr.bq, pr.skv_p // pr.bk)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=pr.scale, kv_blocks=grid[2],
+                          bq=pr.bq, bk=pr.bk, causal=causal, diag=pr.diag),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d_p), q_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d_p), kv_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d_p), kv_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq if bias_rows > 1 else 1, bk), b_idx,
+            pl.BlockSpec((1, pr.bq, pr.d_p), pr.q_idx(),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pr.bk, pr.d_p), pr.kv_idx(),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pr.bk, pr.d_p), pr.kv_idx(),
+                         memory_space=pltpu.VMEM),
+            pr.bias_spec(),
         ],
-        out_specs=pl.BlockSpec((1, bq, d_p), q_idx, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d_p), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, pr.bq, pr.d_p), pr.q_idx(),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, pr.bq), lambda ibh, i, j: (ibh, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((pr.b * pr.h, pr.sq_p, pr.d_p), q.dtype),
+            jax.ShapeDtypeStruct((pr.b * pr.h, 8, pr.sq_p), jnp.float32),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d_p), jnp.float32),
+            pltpu.VMEM((pr.bq, 128), jnp.float32),
+            pltpu.VMEM((pr.bq, 128), jnp.float32),
+            pltpu.VMEM((pr.bq, pr.d_p), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq_p * skv_p * d_p,
-            bytes_accessed=(b * h * sq_p * d_p * 2 + b * hk * skv_p * d_p * 2)
+            flops=4 * pr.b * pr.h * pr.sq_p * pr.skv_p * pr.d_p,
+            bytes_accessed=(pr.b * pr.h * pr.sq_p * pr.d_p * 2
+                            + pr.b * pr.hk * pr.skv_p * pr.d_p * 2)
             * q.dtype.itemsize,
-            transcendentals=b * h * sq_p * skv_p,
+            transcendentals=pr.b * pr.h * pr.sq_p * pr.skv_p,
         ),
-        interpret=interpret,
-    )(qp, kp, vp, bias)
-    return out.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
+        interpret=_interpret(),
+    )(pr.qp, pr.kp, pr.vp, pr.bias)
+    return out, lse, pr
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "causal"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    bias: Optional[jax.Array] = None, causal: bool = False,
+                    block_q: int = 512, block_k: int = 1024) -> jax.Array:
+    """q (b, h, sq, d); k/v (b, hk, skv, d), hk ∈ {h, 1}; additive bias
+    broadcastable to (b, h, sq, skv).  Returns (b, h, sq, d) in q.dtype."""
+    out, _, pr = _flash_forward(q, k, v, bias, causal, block_q, block_k)
+    return out.reshape(pr.b, pr.h, pr.sq_p, pr.d_p)[:, :, :pr.sq, :pr.d]
+
+
+# ---------------------------------------------------------------------------
+# backward (FlashAttention-2 recompute kernels)
+# ---------------------------------------------------------------------------
+
+def _recompute_p_ds(q, k, v, do, b_blk, lse, dvec, *, scale, causal, iq, ik,
+                    bq, bk, diag):
+    """Shared recompute: probabilities P and score grads dS for one tile."""
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + b_blk
+    if causal:
+        rows = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(cols <= rows + diag, s, NEG_BIG)
+    p = jnp.exp(s - lse)                              # (bq, bk)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (bq, bk)
+    ds = p * (dp - dvec)
+    return p, ds
+
+
+def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, b_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, q_blocks, bq,
+                    bk, causal, diag):
+    ibh, j, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    # q blocks whose last row still precedes this kv block's first column
+    # cannot attend it: skip
+    active = (i * bq + bq - 1 + diag >= j * bk) if causal else (i >= 0)
+
+    @pl.when(active)
+    def _compute():
+        q = q_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0, :].reshape(bq, 1)
+        dvec = dvec_ref[0, 0, :].reshape(bq, 1)
+        p, ds = _recompute_p_ds(q, k_ref[0], v_ref[0], do, b_ref[0], lse,
+                                dvec, scale=scale, causal=causal, iq=i, ik=j,
+                                bq=bq, bk=bk, diag=diag)
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (bk, d)
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(i == q_blocks - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, b_ref,
+                   dq_ref, dq_scr, *, scale, kv_blocks, bq, bk, causal, diag):
+    ibh, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    if causal:
+        last_needed = jnp.clip((i * bq + bq - 1 + diag) // bk, 0,
+                               kv_blocks - 1)
+    else:
+        last_needed = kv_blocks - 1
+
+    @pl.when(j <= last_needed)
+    def _compute():
+        q = q_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0, :].reshape(bq, 1)
+        dvec = dvec_ref[0, 0, :].reshape(bq, 1)
+        _, ds = _recompute_p_ds(q, k_ref[0], v_ref[0], do, b_ref[0], lse,
+                                dvec, scale=scale, causal=causal, iq=i, ik=j,
+                                bq=bq, bk=bk, diag=diag)
+        dq_scr[:] += jax.lax.dot_general(
+            ds, k_ref[0].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(j == last_needed)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_backward(q, k, v, bias, causal, out, lse, g,
+                    block_q: int = 256, block_k: int = 512):
+    """lse is the UNPADDED (b, h, sq) logsumexp from the forward."""
+    pr = _prepare(q, k, v, bias, block_q, block_k)
+    b, h, hk = pr.b, pr.h, pr.hk
+    dop = jnp.pad(g, ((0, 0), (0, 0), (0, pr.sq_p - pr.sq),
+                      (0, pr.d_p - pr.d))).reshape(b * h, pr.sq_p, pr.d_p)
+    # D = rowsum(dO * O), fp32, padded rows are zero; lse/D ride in
+    # sublane-replicated (bh, 8, sq_p) tiles for legal Mosaic blocks
+    dvec = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dvec = jnp.pad(dvec, ((0, 0), (0, 0), (0, pr.sq_p - pr.sq))).reshape(
+        b * h, 1, pr.sq_p)
+    dvec = jnp.broadcast_to(dvec, (b * h, 8, pr.sq_p))
+    lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pr.sq_p - pr.sq))).reshape(
+        b * h, 1, pr.sq_p)
+    lse = jnp.broadcast_to(lse, (b * h, 8, pr.sq_p))
+
+    common_in = [
+        pl.BlockSpec((1, pr.bq, pr.d_p), None, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pr.bq, pr.d_p), None, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, pr.bq), None, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, pr.bq), None, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pr.bk, pr.d_p), None, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pr.bk, pr.d_p), None, memory_space=pltpu.VMEM),
+    ]
+
+    nq, nkv = pr.sq_p // pr.bq, pr.skv_p // pr.bk
+
+    # ---- dK/dV: grid (bh, kv, q) ------------------------------------------
+    def mk(spec, index_map):
+        return pl.BlockSpec(spec.block_shape, index_map,
+                            memory_space=pltpu.VMEM)
+
+    q_map_kv = lambda ibh, j, i: (ibh, i, 0)
+    row_map_kv = lambda ibh, j, i: (ibh, 0, i)
+    kv_map_kv = lambda ibh, j, i: (ibh if hk == h else ibh // h, j, 0)
+
+    def bias_map_kv(ibh, j, i):
+        n = 0 if pr.nb == 1 else (ibh // h if pr.nb == b else ibh)
+        return (n, i if pr.bias_rows > 1 else 0, j)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=pr.scale, q_blocks=nq,
+                          bq=pr.bq, bk=pr.bk, causal=causal, diag=pr.diag),
+        grid=(b * h, nkv, nq),
+        in_specs=[
+            mk(common_in[0], q_map_kv),
+            mk(common_in[1], q_map_kv),
+            mk(common_in[2], row_map_kv),
+            mk(common_in[3], row_map_kv),
+            mk(common_in[4], kv_map_kv),
+            mk(common_in[5], kv_map_kv),
+            pl.BlockSpec((1, pr.bq if pr.bias_rows > 1 else 1, pr.bk),
+                         bias_map_kv, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, pr.bk, pr.d_p), lambda ibh, j, i: (ibh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pr.bk, pr.d_p), lambda ibh, j, i: (ibh, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, pr.skv_p, pr.d_p), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, pr.skv_p, pr.d_p), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((pr.bk, pr.d_p), jnp.float32),
+            pltpu.VMEM((pr.bk, pr.d_p), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(pr.qp, dop, lse, dvec, pr.kp, pr.vp, pr.bias)
+
+    # ---- dQ: grid (bh, q, kv) ---------------------------------------------
+    q_map_q = lambda ibh, i, j: (ibh, i, 0)
+    row_map_q = lambda ibh, i, j: (ibh, 0, i)
+    kv_map_q = lambda ibh, i, j: (ibh if hk == h else ibh // h, j, 0)
+
+    def bias_map_q(ibh, i, j):
+        n = 0 if pr.nb == 1 else (ibh // h if pr.nb == b else ibh)
+        return (n, i if pr.bias_rows > 1 else 0, j)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=pr.scale, kv_blocks=nkv,
+                          bq=pr.bq, bk=pr.bk, causal=causal, diag=pr.diag),
+        grid=(b * h, nq, nkv),
+        in_specs=[
+            mk(common_in[0], q_map_q),
+            mk(common_in[1], q_map_q),
+            mk(common_in[2], row_map_q),
+            mk(common_in[3], row_map_q),
+            mk(common_in[4], kv_map_q),
+            mk(common_in[5], kv_map_q),
+            pl.BlockSpec((1, pr.bq if pr.bias_rows > 1 else 1, pr.bk),
+                         bias_map_q, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, pr.bq, pr.d_p),
+                               lambda ibh, i, j: (ibh, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, pr.sq_p, pr.d_p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((pr.bq, pr.d_p), jnp.float32)],
+        interpret=_interpret(),
+    )(pr.qp, dop, lse, dvec, pr.kp, pr.vp, pr.bias)
+
+    dq = dq.reshape(b, h, pr.sq_p, pr.d_p)[:, :, :pr.sq, :pr.d].astype(q.dtype)
+    dk = dk.reshape(b, h, pr.skv_p, pr.d_p)[:, :, :pr.skv, :pr.d]
+    dv = dv.reshape(b, h, pr.skv_p, pr.d_p)[:, :, :pr.skv, :pr.d]
+    if hk == 1:
+        dk = dk.sum(axis=1, keepdims=True)
+        dv = dv.sum(axis=1, keepdims=True)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 def _xla_attention(q, k, v, bias):
-    """Reference math for the backward pass (mirrors ops/attention.sdpa's
-    no-dropout path, safe softmax included)."""
+    """Reference math (mirrors ops/attention.sdpa's no-dropout path)."""
     d = q.shape[-1]
     scale = 1.0 / (d ** 0.5)
     scores = jnp.matmul(q.astype(jnp.float32) * scale,
@@ -215,30 +467,21 @@ def _xla_attention(q, k, v, bias):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_sdpa(q, k, v, bias, causal):
-    """Flash forward with XLA-recomputed backward (the flash backward
-    kernel is a later milestone; the bwd recompute costs one extra XLA
-    attention, with standard—not flash—bwd memory)."""
+    """Flash forward + flash backward (bias grads are zero — masks are
+    constants in this framework)."""
     return flash_attention(q, k, v, bias, causal=causal)
 
 
 def _flash_sdpa_fwd(q, k, v, bias, causal):
-    return flash_attention(q, k, v, bias, causal=causal), (q, k, v, bias)
+    out, lse, pr = _flash_forward(q, k, v, bias, causal, 512, 1024)
+    out_c = out.reshape(pr.b, pr.h, pr.sq_p, pr.d_p)[:, :, :pr.sq, :pr.d]
+    lse_c = lse[:, 0, :pr.sq].reshape(pr.b, pr.h, pr.sq)
+    return out_c, (q, k, v, bias, out_c, lse_c)
 
 
 def _flash_sdpa_bwd(causal, res, g):
-    q, k, v, bias = res
-
-    def ref(q_, k_, v_):
-        from image2text_tpu.ops.attention import causal_bias
-
-        b = bias
-        if causal:
-            cb = causal_bias(q_.shape[-2], k_.shape[-2])
-            b = cb if b is None else b + cb
-        return _xla_attention(q_, k_, v_, b)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, bias, out, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, bias, causal, out, lse, g)
     db = None if bias is None else jnp.zeros_like(bias)
     return dq, dk, dv, db
 

@@ -114,6 +114,34 @@ def test_flash_sdpa_grad_matches_xla():
                                    rtol=1e-4)
 
 
+@pytest.mark.parametrize("hk,causal,sq,skv", [
+    (4, True, 128, 128),    # MHA, in-kernel causal
+    (1, True, 100, 100),    # MQA (head-summed dk/dv), ragged
+    (1, False, 64, 160),    # cross-shaped, bias-only
+])
+def test_flash_backward_kernels_match_xla(hk, causal, sq, skv):
+    """The FA2-style dq/dk/dv kernels must match XLA grads, incl. the MQA
+    head reduction and the causal band skipping."""
+    b, h, d = 2, 4, 32
+    q = _rand((b, h, sq, d), 0)
+    k = _rand((b, hk, skv, d), 1)
+    v = _rand((b, hk, skv, d), 2)
+    bias = None if causal else causal_bias(sq, skv)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_sdpa(q, k, v, bias, causal) ** 2)
+
+    def loss_xla(q, k, v):
+        m = causal_bias(sq, skv) if causal else bias
+        return jnp.sum(sdpa(q, k, v, mask=m, use_flash=False) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"d{name}")
+
+
 def test_sdpa_grad_finite_with_fully_masked_rows():
     """Regression: padding-query rows (all keys -inf) must yield finite
     grads — a denormal softmax-denominator floor made the division VJP
