@@ -141,7 +141,7 @@ class GPT2HuggingfaceDecoder(HuggingfaceDecoder):
 
     def forward(self, p, idx=None, inputs_embeds=None, cross_attn_embeds=None,
                 attn_msk=None, ctx: Ctx = Ctx(), use_flash: bool = True,
-                kv_cache=None, pos_offset=None, **kwargs):
+                kv_cache=None, pos_offset=None, cross_kv=None, **kwargs):
         assert not (idx is None and inputs_embeds is None)
         assert idx is None or inputs_embeds is None
         if inputs_embeds is None:
@@ -149,8 +149,17 @@ class GPT2HuggingfaceDecoder(HuggingfaceDecoder):
         enc = cross_attn_embeds if self.config.use_cross_attn else None
         hidden = self.backbone(p["transformer"], inputs_embeds, enc=enc,
                                ctx=ctx, use_flash=use_flash,
-                               kv_cache=kv_cache, pos_offset=pos_offset)
+                               kv_cache=kv_cache, pos_offset=pos_offset,
+                               cross_kv=cross_kv)
         return self._logits(p, hidden), hidden
+
+    def precompute_cross_kv(self, p, enc):
+        """Per-depth cross K/V from the fixed encoder output (decode-time)."""
+        if not self.config.use_cross_attn:
+            return {}
+        return {depth: blk.crossattention.project_kv(
+                    p["transformer"]["h"][str(depth)]["crossattention"], enc)
+                for depth, blk in enumerate(self.backbone.blocks)}
 
     def _block_attns(self):
         return [blk.attn for blk in self.backbone.blocks]

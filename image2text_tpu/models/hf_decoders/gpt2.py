@@ -69,17 +69,32 @@ class _GPT2CrossAttention(Module):
         self.c_attn = self.add("c_attn", Linear(n_embd, 2 * n_embd))
         self.c_proj = self.add("c_proj", Linear(n_embd, n_embd))
 
-    def forward(self, p, x, enc, ctx: Ctx = Ctx(), use_flash: bool = True,
-                **kwargs):
-        b, t, c = x.shape
-        hd = c // self.n_head
-        q = self.q_attn(p["q_attn"], x)
+    def project_kv(self, p, enc):
+        """Split-head cross K/V for a fixed encoder output (decode-time
+        precompute — once per sequence, not once per token)."""
+        b = enc.shape[0]
+        hd = self.n_embd // self.n_head
         k, v = jnp.split(self.c_attn(p["c_attn"], enc), 2, axis=-1)
 
         def heads(z):
             return z.reshape(b, -1, self.n_head, hd).transpose(0, 2, 1, 3)
 
-        y = sdpa(heads(q), heads(k), heads(v), mask=None, ctx=ctx,
+        return heads(k), heads(v)
+
+    def forward(self, p, x, enc, ctx: Ctx = Ctx(), use_flash: bool = True,
+                precomputed_kv=None, **kwargs):
+        b, t, c = x.shape
+        hd = c // self.n_head
+        q = self.q_attn(p["q_attn"], x)
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+        else:
+            k, v = self.project_kv(p, enc)
+
+        def heads(z):
+            return z.reshape(b, -1, self.n_head, hd).transpose(0, 2, 1, 3)
+
+        y = sdpa(heads(q), k, v, mask=None, ctx=ctx,
                  use_flash=use_flash)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, c)
         y = self.c_proj(p["c_proj"], y)
@@ -118,14 +133,15 @@ class _GPT2Block(Module):
         self.mlp = self.add("mlp", _GPT2MLP(n_embd, 4 * n_embd, dropout_rate))
 
     def forward(self, p, x, enc=None, ctx: Ctx = Ctx(), use_flash: bool = True,
-                kv_cache=None, **kwargs):
+                kv_cache=None, cross_kv=None, **kwargs):
         x = x + self.attn(p["attn"], self.ln_1(p["ln_1"], x), ctx=ctx.fold(1),
                           use_flash=use_flash, kv_cache=kv_cache)
-        if enc is not None:
+        if enc is not None or cross_kv is not None:
             assert self.has_cross, "cross-attention not configured"
             x = x + self.crossattention(
                 p["crossattention"], self.ln_cross_attn(p["ln_cross_attn"], x),
-                enc, ctx=ctx.fold(2), use_flash=use_flash)
+                enc, ctx=ctx.fold(2), use_flash=use_flash,
+                precomputed_kv=cross_kv)
         x = x + self.mlp(p["mlp"], self.ln_2(p["ln_2"], x), ctx=ctx.fold(3))
         return x
 
@@ -151,7 +167,7 @@ class GPT2Backbone(Module):
 
     def forward(self, p, inputs_embeds, enc=None, ctx: Ctx = Ctx(),
                 use_flash: bool = True, kv_cache=None, pos_offset=None,
-                **kwargs):
+                cross_kv=None, **kwargs):
         t = inputs_embeds.shape[-2]
         positions = jnp.arange(t) if pos_offset is None \
             else pos_offset + jnp.arange(t)
@@ -159,8 +175,10 @@ class GPT2Backbone(Module):
                                      axis=0).astype(inputs_embeds.dtype)
         x, ctx = dropout(x, self.dropout_rate, ctx)
         for depth, blk in enumerate(self.blocks):
-            x = blk(p["h"][str(depth)], x, enc=enc, ctx=ctx.fold(depth),
-                    use_flash=use_flash, kv_cache=kv_cache)
+            ckv = cross_kv.get(depth) if cross_kv is not None else None
+            x = blk(p["h"][str(depth)], x,
+                    enc=None if ckv is not None else enc, ctx=ctx.fold(depth),
+                    use_flash=use_flash, kv_cache=kv_cache, cross_kv=ckv)
         return self.ln_f(p["ln_f"], x)
 
 

@@ -107,11 +107,21 @@ def main(args):
         ignore_index=config.ignore_index)
     params = wrapper.init(jax.random.PRNGKey(config.seed))
     trainer = Trainer(config, wrapper, params)
+    import os
+
+    if args.resume_dir and os.path.isdir(args.resume_dir):
+        # full-state resume (params + optimizer + step) — beyond the
+        # reference, which restarts from model weights only (SURVEY §5.4)
+        trainer.restore_state(args.resume_dir)
+        print(f"resumed train state from {args.resume_dir} "
+              f"(step {int(trainer.state.step)})")
 
     train_iter, val_iter = iter(train_dl), iter(val_dl)
     for epoch in range(10000):
         stop = trainer.train_loop(train_iter, epoch,
                                   chkpt_fname=args.chkpt_file)
+        if args.resume_dir and jax.process_index() == 0:
+            trainer.save_state(args.resume_dir)
         if stop:
             break
         eval_model(trainer, tokenizer, val_iter, epoch, config.ignore_index)
@@ -124,6 +134,8 @@ def parse_args(argv=None):
     parser = ArgumentParser()
     parser.add_argument("--config_file", required=True, type=str)
     parser.add_argument("--chkpt_file", required=False, type=str, default=None)
+    parser.add_argument("--resume_dir", required=False, type=str, default=None,
+                        help="orbax dir for full-train-state save/resume")
     return parser.parse_args(argv)
 
 
