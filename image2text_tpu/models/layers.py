@@ -159,18 +159,6 @@ class _MLP(Module):
 # Mixture of Experts
 # ---------------------------------------------------------------------------
 
-class _MoEUnit(Module):
-    """Low-rank two-layer expert (reference layers.py:285-298)."""
-
-    def __init__(self, in_features: int, out_features: int, proj_features: int):
-        super().__init__()
-        self.l1 = self.add("l1", Linear(in_features, proj_features))
-        self.l2 = self.add("l2", Linear(proj_features, out_features))
-
-    def forward(self, p, x, ctx: Ctx = Ctx(), **kwargs):
-        return self.l2(p["l2"], gelu_tanh(self.l1(p["l1"], x)))
-
-
 class MoELinear(Module):
     """Top-k MoE over low-rank experts, dense-vectorized for TPU.
 
@@ -181,6 +169,11 @@ class MoELinear(Module):
     every token as one stacked einsum (experts are low-rank so the extra
     FLOPs are negligible), and a scattered one-hot weight matrix selects the
     top-k combination — no dynamic shapes, no host loop.
+
+    Experts are stored natively STACKED (leading expert axis) — the einsum
+    operands are single parameters, ready for expert-axis sharding; the
+    checkpoint layer splits/joins them to the reference's per-expert
+    ``experts.{i}.l1/l2.weight/bias`` keys (split specs below).
     """
 
     def __init__(self, in_features: int, out_features: int, proj_features: int,
@@ -193,9 +186,21 @@ class MoELinear(Module):
         self.top_k = top_k
         self.expert_gates = self.add(
             "expert_gates", MLP(in_features, num_experts, gate_sizes=gate_sizes, bias=bias))
-        experts = ModuleList(
-            [_MoEUnit(in_features, out_features, proj_features) for _ in range(num_experts)])
-        self.experts = self.add("experts", experts)
+        e = num_experts
+        self.param("l1_weight", (e, proj_features, in_features),
+                   uniform_init(1.0 / math.sqrt(in_features)))
+        self.param("l1_bias", (e, proj_features),
+                   uniform_init(1.0 / math.sqrt(in_features)))
+        self.param("l2_weight", (e, out_features, proj_features),
+                   uniform_init(1.0 / math.sqrt(proj_features)))
+        self.param("l2_bias", (e, out_features),
+                   uniform_init(1.0 / math.sqrt(proj_features)))
+        self._split_specs = {
+            "l1_weight": ("experts.{i}.l1.weight", e),
+            "l1_bias": ("experts.{i}.l1.bias", e),
+            "l2_weight": ("experts.{i}.l2.weight", e),
+            "l2_bias": ("experts.{i}.l2.bias", e),
+        }
 
     def forward(self, p, x, ctx: Ctx = Ctx(), **kwargs):
         e = self.num_experts
@@ -207,17 +212,14 @@ class MoELinear(Module):
         combine = jnp.sum(jax.nn.one_hot(top_i, e, dtype=top_w.dtype)
                           * top_w[..., None], axis=-2)
 
-        # stacked expert evaluation: einsum over all experts at once
         dt = x.dtype
-        l1w = jnp.stack([p["experts"][str(i)]["l1"]["weight"] for i in range(e)]).astype(dt)
-        l1b = jnp.stack([p["experts"][str(i)]["l1"]["bias"] for i in range(e)]).astype(dt)
-        l2w = jnp.stack([p["experts"][str(i)]["l2"]["weight"] for i in range(e)]).astype(dt)
-        l2b = jnp.stack([p["experts"][str(i)]["l2"]["bias"] for i in range(e)]).astype(dt)
-        h = jnp.einsum("...i,epi->...ep", x, l1w,
-                       preferred_element_type=jnp.float32).astype(dt) + l1b
+        h = jnp.einsum("...i,epi->...ep", x, p["l1_weight"].astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt) \
+            + p["l1_bias"].astype(dt)
         h = gelu_tanh(h)
-        y = jnp.einsum("...ep,eop->...eo", h, l2w,
-                       preferred_element_type=jnp.float32).astype(dt) + l2b
+        y = jnp.einsum("...ep,eop->...eo", h, p["l2_weight"].astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt) \
+            + p["l2_bias"].astype(dt)
         return jnp.einsum("...e,...eo->...o", combine.astype(dt), y,
                           preferred_element_type=jnp.float32).astype(dt)
 

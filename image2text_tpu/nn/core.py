@@ -140,6 +140,10 @@ class Module:
         self._frozen: set = set()          # local param names frozen out of training
         self._lora_freeze_all: bool = False  # freeze entire subtree except lora_*
         self._force_enable = None          # PatternMatcher re-enabling frozen paths
+        # checkpoint split specs: {stacked_param_name: (template, count)} —
+        # a stacked leading-axis param that serialises as `count`
+        # reference-style keys via template.format(i=...) (e.g. MoE experts)
+        self._split_specs: Dict[str, Tuple[str, int]] = {}
 
     # -- declaration -------------------------------------------------------
     def param(self, name: str, shape: Iterable[int], init_fn: Callable,
@@ -206,6 +210,17 @@ class Module:
                 out.extend(child.frozen_param_paths(f"{path}.{name}" if path else name))
         if self._force_enable is not None:
             out = [p for p in out if not self._force_enable.match(p)]
+        return out
+
+    def split_specs(self, path: str = "") -> Dict[str, Tuple[str, int]]:
+        """Flat {stacked_param_path: (key_template_path, count)} subtree-wide."""
+        out: Dict[str, Tuple[str, int]] = {}
+        for name, (template, count) in self._split_specs.items():
+            p = f"{path}.{name}" if path else name
+            t = f"{path}.{template}" if path else template
+            out[p] = (t, count)
+        for name, child in self._children.items():
+            out.update(child.split_specs(f"{path}.{name}" if path else name))
         return out
 
     def module_at(self, path: str) -> "Module":

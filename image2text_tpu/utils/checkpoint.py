@@ -60,8 +60,15 @@ def collect_tied_aliases(module: Module, prefix: str = "") -> Dict[str, str]:
 
 
 def export_state_dict(module: Module, params: Dict) -> Dict[str, np.ndarray]:
-    """Flatten params to torch-style names, materialising tied aliases."""
+    """Flatten params to torch-style names, materialising tied aliases and
+    splitting stacked params (e.g. MoE experts) into their reference-style
+    per-index keys."""
     flat = {k: np.asarray(v) for k, v in flatten(params).items()}
+    for stacked, (template, count) in module.split_specs().items():
+        if stacked in flat:
+            arr = flat.pop(stacked)
+            for i in range(count):
+                flat[template.format(i=i)] = arr[i]
     for alias, source in collect_tied_aliases(module).items():
         if source in flat:
             flat[alias] = flat[source]
@@ -99,8 +106,21 @@ def update_params_from_partial_checkpoint(module: Module, params: Dict,
     sd = load_state_dict(path)
     flat = flatten(params)
     aliases = collect_tied_aliases(module)
+    # reverse map for stacked params: per-index key -> (stacked path, index)
+    joins = {}
+    for stacked, (template, count) in module.split_specs().items():
+        for i in range(count):
+            joins[template.format(i=i)] = (stacked, i)
     for k, v in sd.items():
         k = aliases.get(k, k)
+        if k in joins:
+            stacked, i = joins[k]
+            if tuple(flat[stacked].shape[1:]) != tuple(v.shape):
+                raise ValueError(
+                    f"shape mismatch for {k}: {flat[stacked].shape[1:]} "
+                    f"vs {v.shape}")
+            flat[stacked] = flat[stacked].at[i].set(jnp.asarray(v))
+            continue
         if k not in flat:
             raise KeyError(f"checkpoint key {k!r} not present in model")
         if tuple(flat[k].shape) != tuple(v.shape):

@@ -143,7 +143,14 @@ def test_moe_linear():
     m = MoELinear(16, 24, proj_features=8, num_experts=4, top_k=2, gate_sizes=(32,))
     p = m.init(KEY)
     flat = flatten(p)
-    assert "experts.0.l1.weight" in flat and "expert_gates.model.0.weight" in flat
+    # experts are stored natively stacked; the checkpoint layer serialises
+    # them to the reference's per-expert key names
+    assert flat["l1_weight"].shape == (4, 8, 16)
+    assert "expert_gates.model.0.weight" in flat
+    from image2text_tpu.utils.checkpoint import export_state_dict
+    sd = export_state_dict(m, p)
+    assert sd["experts.0.l1.weight"].shape == (8, 16)
+    assert "experts.3.l2.bias" in sd and "l1_weight" not in sd
     x = jnp.ones((2, 5, 16))
     y = m(p, x)
     assert y.shape == (2, 5, 24)
@@ -161,16 +168,38 @@ def test_moe_matches_reference_semantics():
     gv = jax.nn.softmax(gate / np.sqrt(16), axis=-1)
     w, i = jax.lax.top_k(gv, 2)
     w, i = np.asarray(w), np.asarray(i)
-    # evaluate each selected expert with the module machinery
-    from image2text_tpu.models.layers import _MoEUnit
-    unit = _MoEUnit(16, 12, 8)
+    l1w, l1b = np.asarray(p["l1_weight"]), np.asarray(p["l1_bias"])
+    l2w, l2b = np.asarray(p["l2_weight"]), np.asarray(p["l2_bias"])
+
+    def expert(e, xt):  # reference _MoEUnit: l2(gelu(l1(x)))
+        h = xt @ l1w[e].T + l1b[e]
+        h = np.asarray(jax.nn.gelu(h, approximate=True))
+        return h @ l2w[e].T + l2b[e]
+
     expected = np.zeros((6, 12), np.float32)
     for t in range(6):
         for j in range(2):
-            e = int(i[t, j])
-            out = np.asarray(unit(p["experts"][str(e)], x[t][None]))[0]
-            expected[t] += w[t, j] * out
+            expected[t] += w[t, j] * expert(int(i[t, j]), x[t])
     np.testing.assert_allclose(y, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_moe_checkpoint_roundtrip_reference_keys():
+    """Reference-style per-expert checkpoints load into the stacked params."""
+    import io
+
+    from image2text_tpu.utils.checkpoint import (
+        export_state_dict, save_checkpoint, update_params_from_partial_checkpoint)
+
+    m = MoELinear(16, 12, proj_features=8, num_experts=4, top_k=2)
+    p = m.init(KEY)
+    path = "/tmp/moe_ck_test.npz"
+    save_checkpoint(m, p, path)
+    p2 = m.init(jax.random.PRNGKey(9))
+    p2 = update_params_from_partial_checkpoint(m, p2, path)
+    np.testing.assert_array_equal(np.asarray(p2["l1_weight"]),
+                                  np.asarray(p["l1_weight"]))
+    np.testing.assert_array_equal(np.asarray(p2["l2_bias"]),
+                                  np.asarray(p["l2_bias"]))
 
 
 def test_transformer_block_dense_and_sparse():
