@@ -154,6 +154,14 @@ class TransformerDecoder(Decoder):
                 flat[p] = jnp.zeros(spec.shape, spec.dtype)
             elif spec.owner == "Embedding" and spec.name == "weight":
                 flat[p] = 0.02 * jax.random.normal(subkey, spec.shape, spec.dtype)
+            elif spec.owner == "AdvancedPositionalBiasMLP":
+                # its per-position MLPs are nn.Linears in the reference, so
+                # the GPT-2 init policy covers them (decoder.py:193-212)
+                if spec.name.startswith("w"):
+                    flat[p] = 0.02 * jax.random.normal(subkey, spec.shape,
+                                                       spec.dtype)
+                else:
+                    flat[p] = jnp.zeros(spec.shape, spec.dtype)
         params = unflatten(flat)
         if self.pretrained_model is not None:
             from image2text_tpu.models.hf_import import load_pretrained_gpt2_params

@@ -553,8 +553,12 @@ class TransformerBlock(Module):
 
 class AdvancedPositionalBiasMLP(Module):
     """One residual MLP per position, evaluated as a single batched einsum
-    over stacked per-position weights (reference layers.py:617-638 loops in
-    Python; here the loop is the 'p' axis of a dot_general)."""
+    (reference layers.py:617-638 loops in Python; here the loop is the 'p'
+    axis of a dot_general).
+
+    Per-position weights are stored natively STACKED along a leading
+    position axis; the checkpoint layer splits/joins them to the
+    reference's ``models.{i}.model.{lid}.weight`` keys."""
 
     def __init__(self, context_width: int, in_features: int, out_features: int,
                  gate_sizes: Optional[Tuple[int, ...]] = None,
@@ -565,79 +569,66 @@ class AdvancedPositionalBiasMLP(Module):
         self.out_features = out_features
         self.add_residual = add_residual_connection
         self.needs_res_proj = add_residual_connection and in_features != out_features
-        mods = ModuleList([
-            MLP(in_features, out_features, gate_sizes, bias=True,
-                add_residual_connection=add_residual_connection)
-            for _ in range(context_width)
-        ])
-        self.models = self.add("models", mods)
-        self.layer_ids = mods[0].layer_ids
+        gate_sizes = tuple(gate_sizes) if gate_sizes is not None else ()
+        sizes = (in_features,) + gate_sizes + (out_features,)
+        self.layer_ids = [str(2 * i) for i in range(len(sizes) - 1)]
+        self.layer_sizes = sizes
+        P = context_width
+        for j, lid in enumerate(self.layer_ids):
+            fi, fo = sizes[j], sizes[j + 1]
+            self.param(f"w{lid}", (P, fo, fi), uniform_init(1.0 / math.sqrt(fi)))
+            self.param(f"b{lid}", (P, fo), uniform_init(1.0 / math.sqrt(fi)))
+            self._split_specs[f"w{lid}"] = (
+                f"models.{{i}}.model.{lid}.weight", P)
+            self._split_specs[f"b{lid}"] = (
+                f"models.{{i}}.model.{lid}.bias", P)
+        if self.needs_res_proj:
+            self.param("w_res", (P, out_features, in_features),
+                       uniform_init(1.0 / math.sqrt(in_features)))
+            self.param("b_res", (P, out_features),
+                       uniform_init(1.0 / math.sqrt(in_features)))
+            self._split_specs["w_res"] = (
+                "models.{i}.residual_connector.weight", P)
+            self._split_specs["b_res"] = (
+                "models.{i}.residual_connector.bias", P)
+
+    def _apply(self, p, x, pick):
+        """pick(arr) selects the per-position slices for this call."""
+        dt = x.dtype
+        h = x
+        n_layers = len(self.layer_ids)
+        for j, lid in enumerate(self.layer_ids):
+            w = pick(p[f"w{lid}"]).astype(dt)   # (t, out, in)
+            b = pick(p[f"b{lid}"]).astype(dt)   # (t, out)
+            h = jnp.einsum("...pi,poi->...po", h, w,
+                           preferred_element_type=jnp.float32).astype(dt) + b
+            if j < n_layers - 1:
+                h = gelu_tanh(h)
+        if self.add_residual:
+            if self.needs_res_proj:
+                rw = pick(p["w_res"]).astype(dt)
+                rb = pick(p["b_res"]).astype(dt)
+                res = jnp.einsum("...pi,poi->...po", x, rw,
+                                 preferred_element_type=jnp.float32).astype(dt) + rb
+            else:
+                res = x
+            h = h + res
+        return h
 
     def forward(self, p, x, ctx: Ctx = Ctx(), **kwargs):
         # x: (..., t, in) with t <= context_width; only the first t
         # per-position MLPs apply (the reference zips models with positions,
         # layers.py:638)
-        pm = p["models"]
         n_pos = x.shape[-2]
         assert n_pos <= self.context_width
-        dt = x.dtype
-        h = x
-        n_layers = len(self.layer_ids)
-        for j, lid in enumerate(self.layer_ids):
-            w = jnp.stack([pm[str(i)]["model"][lid]["weight"]
-                           for i in range(n_pos)]).astype(dt)  # (P, out, in)
-            b = jnp.stack([pm[str(i)]["model"][lid]["bias"]
-                           for i in range(n_pos)]).astype(dt)  # (P, out)
-            h = jnp.einsum("...pi,poi->...po", h, w,
-                           preferred_element_type=jnp.float32).astype(dt) + b
-            if j < n_layers - 1:
-                h = gelu_tanh(h)
-        if self.add_residual:
-            if self.needs_res_proj:
-                rw = jnp.stack([pm[str(i)]["residual_connector"]["weight"]
-                                for i in range(n_pos)]).astype(dt)
-                rb = jnp.stack([pm[str(i)]["residual_connector"]["bias"]
-                                for i in range(n_pos)]).astype(dt)
-                res = jnp.einsum("...pi,poi->...po", x, rw,
-                                 preferred_element_type=jnp.float32).astype(dt) + rb
-            else:
-                res = x
-            h = h + res
-        return h
+        return self._apply(p, x, lambda arr: arr[:n_pos])
 
     def forward_at(self, p, x, positions, ctx: Ctx = Ctx()):
         """Apply the per-position MLPs for *dynamic* ``positions`` (t,) to
         x (..., t, in) — the KV-cached decode path, where the token's global
         position is a traced index rather than its array slot."""
-        pm = p["models"]
-        dt = x.dtype
-        n_layers = len(self.layer_ids)
-        h = x
-        for j, lid in enumerate(self.layer_ids):
-            w = jnp.stack([pm[str(i)]["model"][lid]["weight"]
-                           for i in range(self.context_width)])
-            b = jnp.stack([pm[str(i)]["model"][lid]["bias"]
-                           for i in range(self.context_width)])
-            w = jnp.take(w, positions, axis=0).astype(dt)  # (t, out, in)
-            b = jnp.take(b, positions, axis=0).astype(dt)  # (t, out)
-            h = jnp.einsum("...pi,poi->...po", h, w,
-                           preferred_element_type=jnp.float32).astype(dt) + b
-            if j < n_layers - 1:
-                h = gelu_tanh(h)
-        if self.add_residual:
-            if self.needs_res_proj:
-                rw = jnp.take(jnp.stack(
-                    [pm[str(i)]["residual_connector"]["weight"]
-                     for i in range(self.context_width)]), positions, axis=0).astype(dt)
-                rb = jnp.take(jnp.stack(
-                    [pm[str(i)]["residual_connector"]["bias"]
-                     for i in range(self.context_width)]), positions, axis=0).astype(dt)
-                res = jnp.einsum("...pi,poi->...po", x, rw,
-                                 preferred_element_type=jnp.float32).astype(dt) + rb
-            else:
-                res = x
-            h = h + res
-        return h
+        return self._apply(p, x,
+                           lambda arr: jnp.take(arr, positions, axis=0))
 
 
 # ---------------------------------------------------------------------------

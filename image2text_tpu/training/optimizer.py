@@ -76,10 +76,16 @@ def _strip_head(path: str) -> str:
 
 def assign_param_labels(param_paths: Sequence[str],
                         optim_configs: Sequence[OptimizerConfig],
-                        frozen_paths: Sequence[str] = ()) -> Dict[str, str]:
+                        frozen_paths: Sequence[str] = (),
+                        split_specs=None) -> Dict[str, str]:
     """{path: 'group_i' | 'frozen'} — first matching group wins; teacher and
-    frozen (LoRA-base) params are always 'frozen'."""
+    frozen (LoRA-base) params are always 'frozen'.
+
+    ``split_specs`` ({path: (reference_key_template, count)}) lets stacked
+    params (MoE experts, per-position MLPs) match the reference's fnmatch
+    patterns over their serialised per-index names."""
     frozen = set(frozen_paths)
+    split_specs = split_specs or {}
     matchers = []
     for i, oc in enumerate(optim_configs):
         if oc.target_modules is not None:
@@ -93,9 +99,14 @@ def assign_param_labels(param_paths: Sequence[str],
         if path.startswith("model_m.") or path in frozen:
             labels[path] = "frozen"
             continue
+        if path in split_specs:
+            template, count = split_specs[path]
+            candidates = [template.format(i=i) for i in range(count)]
+        else:
+            candidates = [path]
         labels[path] = "frozen"
         for i, m in enumerate(matchers):
-            if m is None or m.match(_strip_head(path)):
+            if m is None or any(m.match(_strip_head(c)) for c in candidates):
                 labels[path] = f"group_{i}"
                 break
     return labels
@@ -114,7 +125,8 @@ def build_optimizer(module, params,
     spec_paths = set(module.param_specs())
     frozen = list(module.frozen_param_paths()) + list(extra_frozen)
     frozen += [p for p in flat if p not in spec_paths]  # buffers
-    labels = assign_param_labels(list(flat), optim_configs, frozen)
+    labels = assign_param_labels(list(flat), optim_configs, frozen,
+                                 split_specs=module.split_specs())
 
     transforms = {"frozen": optax.set_to_zero()}
     for i, oc in enumerate(optim_configs):

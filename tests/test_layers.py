@@ -263,10 +263,42 @@ def test_advanced_positional_matches_loop():
     p = m.init(KEY)
     x = jnp.asarray(np.random.default_rng(7).standard_normal((3, 4, 8)), jnp.float32)
     y = np.asarray(m(p, x))
-    # loop over positions with the underlying MLPs
+    # loop over positions applying each position's MLP by hand
+    w0, b0 = np.asarray(p["w0"]), np.asarray(p["b0"])
+    w2, b2 = np.asarray(p["w2"]), np.asarray(p["b2"])
     for i in range(4):
-        yi = np.asarray(m.models[i](p["models"][str(i)], x[:, i, :]))
+        h = x[:, i, :] @ w0[i].T + b0[i]
+        h = np.asarray(jax.nn.gelu(h, approximate=True))
+        yi = h @ w2[i].T + b2[i] + np.asarray(x[:, i, :])  # residual (8==8)
         np.testing.assert_allclose(y[:, i, :], yi, rtol=2e-4, atol=2e-5)
+
+
+def test_advanced_positional_checkpoint_keys_and_patterns():
+    """Serialised keys keep the reference's models.{i}.model.{lid} names and
+    the reference YAML optimizer pattern 'encoder*.proj.models.*' still
+    selects the stacked params."""
+    from image2text_tpu.configs.trainer import OptimizerConfig
+    from image2text_tpu.training.optimizer import assign_param_labels
+    from image2text_tpu.utils.checkpoint import export_state_dict
+
+    m = AdvancedPositionalBiasMLP(3, 8, 12, gate_sizes=(16,))
+    p = m.init(KEY)
+    sd = export_state_dict(m, p)
+    assert "models.0.model.0.weight" in sd
+    assert sd["models.2.model.2.bias"].shape == (12,)
+    assert "models.1.residual_connector.weight" in sd  # 8 != 12
+
+    # wrapper-level paths: the leading 'model.' is stripped before matching
+    # (reference trainer.py:150-153)
+    head = "model.encoder.0.proj"
+    specs = {f"{head}.{k}": (f"{head}.{t}", c)
+             for k, (t, c) in m.split_specs().items()}
+    paths = [f"{head}.{k}" for k in m.split_specs()]
+    labels = assign_param_labels(
+        paths,
+        [OptimizerConfig(lr=1e-3, target_modules=["encoder*.proj.models.*"])],
+        split_specs=specs)
+    assert all(v == "group_0" for v in labels.values()), labels
 
 
 def test_peer_lookup():
