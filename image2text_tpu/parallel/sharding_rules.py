@@ -12,12 +12,11 @@ Linear weights are torch layout (out, in):
   c_fc projections — each shard computes its slice of heads/neurons;
 * row-parallel (shard the IN dim, P(None, 'model')): output projections
   (c_proj / o_proj / down_proj) — partial sums all-reduced by XLA.
+* expert-parallel (shard the leading EXPERT axis of the natively-stacked
+  MoE parameters): all experts evaluate locally on their shard and the
+  top-k combine einsum's reduction over experts becomes an XLA psum;
 * everything else (embeddings, norms, biases of row-parallel layers,
   encoder) stays replicated.
-
-The MoE stacked-expert einsum gets expert parallelism for free when its
-per-expert leaves shard over 'model' via the expert index — left for a
-later milestone; these rules cover the dense zoo.
 """
 from __future__ import annotations
 
@@ -53,6 +52,12 @@ TP_RULES = (
     ("*self_attention.dense.weight", "row"),
     ("*mlp.dense_h_to_4h.weight", "col"),
     ("*mlp.dense_4h_to_h.weight", "row"),
+    # MoE stacked experts: shard the expert axis — expert parallelism; the
+    # top-k combine einsum reduces over it, XLA inserts the psum
+    ("*.l1_weight", "expert"),
+    ("*.l1_bias", "expert"),
+    ("*.l2_weight", "expert"),
+    ("*.l2_bias", "expert"),
 )
 
 
@@ -63,6 +68,8 @@ def _spec_for(path: str, shape, model_size: int):
                 return P("model", None)
             if kind == "row" and len(shape) == 2 and shape[1] % model_size == 0:
                 return P(None, "model")
+            if kind == "expert" and shape[0] % model_size == 0:
+                return P(*(("model",) + (None,) * (len(shape) - 1)))
             return P()  # indivisible: replicate rather than fail
     # biases of column-parallel layers follow their weight's out split
     if path.endswith("bias"):

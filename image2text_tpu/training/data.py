@@ -141,6 +141,43 @@ class SyntheticFlickrDataset:
             yield batch
 
 
+class Prefetcher:
+    """Background-thread batch prefetch: overlaps host-side batch assembly
+    (5-caption expansion, tokenization, numpy shuffles) with device compute.
+    Wraps any iterable of batches; ``depth`` bounds host memory."""
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err = None
+
+        def run():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # propagate to the consumer
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._sentinel:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
 def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
     """Minimal host-side bilinear resize (HWC uint8/float → CHW float)."""
     h, w = img.shape[:2]

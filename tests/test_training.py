@@ -199,6 +199,23 @@ def test_wrapper_dataloader_expansion():
 # Optimizer grouping
 # ---------------------------------------------------------------------------
 
+def test_prefetcher_yields_all_and_propagates_errors():
+    from image2text_tpu.training.data import Prefetcher
+
+    items = list(Prefetcher(iter(range(7)), depth=2))
+    assert items == list(range(7))
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    it = Prefetcher(boom())
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="boom"):
+        next(it)
+
+
 def test_param_labels_exclude_teacher_and_match_patterns():
     paths = ["model.decoder.transformer.wte.weight",
              "model.encoder.proj.weight",

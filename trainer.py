@@ -116,7 +116,9 @@ def main(args):
         print(f"resumed train state from {args.resume_dir} "
               f"(step {int(trainer.state.step)})")
 
-    train_iter, val_iter = iter(train_dl), iter(val_dl)
+    from image2text_tpu.training.data import Prefetcher
+
+    train_iter, val_iter = Prefetcher(train_dl), Prefetcher(val_dl)
     for epoch in range(10000):
         stop = trainer.train_loop(train_iter, epoch,
                                   chkpt_fname=args.chkpt_file)
