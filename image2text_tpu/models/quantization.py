@@ -2,11 +2,12 @@
 
 TPU-native replacement for the reference's bitsandbytes NF4 path
 (models/decoder.py:292-300, configs ``load_in_4bit`` /
-``prepare_for_kbit_training``): bitsandbytes' CUDA dequant kernels have no
-TPU analog, so frozen weights are stored as blockwise absmax int4 values
-(held in an int8 tensor, range [-7, 7]) with fp32 per-block scales and
-dequantised inside the matmul.  XLA fuses the dequant into the dot; a
-Pallas fused dequant-matmul is a later optimisation.
+``prepare_for_kbit_training``): frozen weights are stored PACKED — two
+blockwise-absmax int4 values per byte (true 4-bit memory, like NF4) with
+fp32 per-block scales — and the matmul runs through the Pallas fused
+dequant-matmul kernel (ops/int4_matmul.py), which unpacks + dequantises
+weight tiles in VMEM so the float weight matrix never exists in HBM.
+An XLA unpack+dot fallback covers shapes the kernel declines.
 
 Quantized weights are frozen by construction (they are integer params the
 optimizer must never touch); training happens through LoRA adapters on
@@ -29,7 +30,10 @@ QMAX = 7.0  # symmetric int4
 
 
 def quantize_blockwise(w: np.ndarray, block: int = QBLOCK):
-    """(out, in) float → int8 values in [-7,7] + fp32 scales (out, in/block)."""
+    """(out, in) float → PACKED uint8 (out, in_pad/2) + fp32 scales
+    (out, in_pad/block)."""
+    from image2text_tpu.ops.int4_matmul import pack_int4
+
     out_f, in_f = w.shape
     pad = (-in_f) % block
     wp = np.pad(w.astype(np.float32), ((0, 0), (0, pad)))
@@ -37,19 +41,26 @@ def quantize_blockwise(w: np.ndarray, block: int = QBLOCK):
     absmax = np.abs(blocks).max(axis=-1, keepdims=True)
     scales = (absmax / QMAX).astype(np.float32)
     q = np.round(blocks / np.maximum(scales, 1e-12)).astype(np.int8)
-    return q.reshape(out_f, -1), scales[..., 0]
+    return pack_int4(q.reshape(out_f, -1)), scales[..., 0]
 
 
-def dequantize_blockwise(q: jax.Array, scales: jax.Array, in_features: int,
-                         dtype=jnp.float32) -> jax.Array:
-    out_f = q.shape[0]
-    blocks = q.reshape(out_f, -1, QBLOCK).astype(dtype)
-    w = blocks * scales[..., None].astype(dtype)
+def dequantize_blockwise(packed: jax.Array, scales: jax.Array,
+                         in_features: int, dtype=jnp.float32) -> jax.Array:
+    """XLA fallback: unpack + scale back to a float weight matrix."""
+    from image2text_tpu.ops.int4_matmul import unpack_int4_jnp
+
+    out_f = packed.shape[0]
+    q = unpack_int4_jnp(packed).astype(dtype)
+    w = (q.reshape(out_f, -1, QBLOCK) * scales[..., None].astype(dtype))
     return w.reshape(out_f, -1)[:, :in_features]
 
 
 class QuantizedLinear(Linear):
-    """Linear with blockwise-int4 frozen weight (bias stays fp32)."""
+    """Linear with packed blockwise-int4 frozen weight (bias stays fp32).
+
+    Matmul runs the Pallas fused dequant-matmul kernel; tiny inputs (e.g.
+    single-token decode) use the XLA unpack+dot fallback where tiling
+    overhead would dominate."""
 
     def __init__(self, in_features: int, out_features: int, bias: bool = True,
                  block: int = QBLOCK):
@@ -58,9 +69,10 @@ class QuantizedLinear(Linear):
         self.out_features = out_features
         self.use_bias = bias
         in_pad = (in_features + block - 1) // block * block
-        self.param("weight", (out_features, in_pad),
-                   lambda key, shape, dtype: jnp.zeros(shape, jnp.int8),
-                   dtype=jnp.int8)
+        self.in_pad = in_pad
+        self.param("weight", (out_features, in_pad // 2),
+                   lambda key, shape, dtype: jnp.zeros(shape, jnp.uint8),
+                   dtype=jnp.uint8)
         self.param("weight_scales", (out_features, in_pad // block),
                    zeros_init())
         if bias:
@@ -68,11 +80,20 @@ class QuantizedLinear(Linear):
         self.freeze("weight", "weight_scales")
 
     def forward(self, p, x, ctx: Ctx = Ctx(), **kwargs):
-        w = dequantize_blockwise(p["weight"], p["weight_scales"],
-                                 self.in_features, x.dtype)
-        y = jax.lax.dot_general(
-            x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+        n_rows = int(np.prod(x.shape[:-1]))
+        if n_rows >= 8:
+            from image2text_tpu.ops.int4_matmul import int4_matmul
+
+            xp = x if self.in_pad == self.in_features else jnp.pad(
+                x, [(0, 0)] * (x.ndim - 1)
+                + [(0, self.in_pad - self.in_features)])
+            y = int4_matmul(xp, p["weight"], p["weight_scales"])
+        else:
+            w = dequantize_blockwise(p["weight"], p["weight_scales"],
+                                     self.in_features, x.dtype)
+            y = jax.lax.dot_general(
+                x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
             y = y + p["bias"].astype(x.dtype)
         return y
@@ -110,7 +131,7 @@ def assign_imported(flat: Dict, key: str, value: np.ndarray) -> bool:
     bitsandbytes parity).  Returns False on unhandled shape mismatch."""
     dst = flat[key]
     value = np.asarray(value)
-    if dst.dtype == jnp.int8 and key.endswith("weight"):
+    if dst.dtype == jnp.uint8 and key.endswith("weight"):
         q, s = quantize_blockwise(value)
         if q.shape != dst.shape:
             return False

@@ -175,7 +175,7 @@ def test_quantized_lora_gpt2_end_to_end():
         params = dec.init(KEY)
         flat = flatten(params)
         qkey = "transformer.h.0.attn.c_attn.weight"
-        assert flat[qkey].dtype == jnp.int8
+        assert flat[qkey].dtype == jnp.uint8  # packed int4
         assert "transformer.h.0.attn.c_attn.lora_A.weight" in flat
 
         frozen = set(dec.frozen_param_paths())
@@ -316,3 +316,28 @@ def test_llama_kv_cache_decode():
     cached = jnp.concatenate(chunks, axis=1)
     np.testing.assert_allclose(np.asarray(cached), np.asarray(full_logits),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_int4_matmul_kernel_matches_dequant():
+    """Pallas fused dequant-matmul == XLA unpack+dot, incl. padding."""
+    from image2text_tpu.models.quantization import (dequantize_blockwise,
+                                                    quantize_blockwise)
+    from image2text_tpu.ops.int4_matmul import int4_matmul, unpack_int4_np
+
+    rng = np.random.default_rng(0)
+    for (n, in_f, out_f) in [(16, 256, 192), (8, 100, 40), (32, 448, 300)]:
+        w = rng.standard_normal((out_f, in_f)).astype(np.float32) * 0.05
+        packed, scales = quantize_blockwise(w)
+        # pack/unpack roundtrip
+        in_pad = packed.shape[1] * 2
+        wq = unpack_int4_np(np.asarray(packed))
+        assert wq.shape == (out_f, in_pad)
+        x = jnp.asarray(rng.standard_normal((n, in_f)), jnp.float32)
+        xp = jnp.pad(x, ((0, 0), (0, in_pad - in_f)))
+        ours = np.asarray(int4_matmul(xp, jnp.asarray(packed),
+                                      jnp.asarray(scales)))
+        wd = np.asarray(dequantize_blockwise(jnp.asarray(packed),
+                                             jnp.asarray(scales), in_f))
+        ref = np.asarray(x) @ wd.T
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-4,
+                                   err_msg=f"{(n, in_f, out_f)}")
