@@ -31,28 +31,19 @@ QMAX = 7.0  # symmetric int4
 
 def quantize_blockwise(w: np.ndarray, block: int = QBLOCK):
     """(out, in) float → PACKED uint8 (out, in_pad/2) + fp32 scales
-    (out, in_pad/block)."""
-    from image2text_tpu.ops.int4_matmul import pack_int4
+    (out, in_pad/block), paired-strip layout (ops/int4_matmul.py)."""
+    from image2text_tpu.ops.int4_matmul import quantize_pack_int4
 
-    out_f, in_f = w.shape
-    pad = (-in_f) % block
-    wp = np.pad(w.astype(np.float32), ((0, 0), (0, pad)))
-    blocks = wp.reshape(out_f, -1, block)
-    absmax = np.abs(blocks).max(axis=-1, keepdims=True)
-    scales = (absmax / QMAX).astype(np.float32)
-    q = np.round(blocks / np.maximum(scales, 1e-12)).astype(np.int8)
-    return pack_int4(q.reshape(out_f, -1)), scales[..., 0]
+    assert block == QBLOCK
+    return quantize_pack_int4(w)
 
 
 def dequantize_blockwise(packed: jax.Array, scales: jax.Array,
                          in_features: int, dtype=jnp.float32) -> jax.Array:
     """XLA fallback: unpack + scale back to a float weight matrix."""
-    from image2text_tpu.ops.int4_matmul import unpack_int4_jnp
+    from image2text_tpu.ops.int4_matmul import dequantize_int4
 
-    out_f = packed.shape[0]
-    q = unpack_int4_jnp(packed).astype(dtype)
-    w = (q.reshape(out_f, -1, QBLOCK) * scales[..., None].astype(dtype))
-    return w.reshape(out_f, -1)[:, :in_features]
+    return dequantize_int4(packed, scales, dtype)[:, :in_features]
 
 
 class QuantizedLinear(Linear):

@@ -319,19 +319,18 @@ def test_llama_kv_cache_decode():
 
 
 def test_int4_matmul_kernel_matches_dequant():
-    """Pallas fused dequant-matmul == XLA unpack+dot, incl. padding."""
+    """Pallas fused dequant-matmul == XLA unpack+dot, incl. padding and
+    row tiling (n > block)."""
     from image2text_tpu.models.quantization import (dequantize_blockwise,
                                                     quantize_blockwise)
-    from image2text_tpu.ops.int4_matmul import int4_matmul, unpack_int4_np
+    from image2text_tpu.ops.int4_matmul import int4_matmul
 
     rng = np.random.default_rng(0)
-    for (n, in_f, out_f) in [(16, 256, 192), (8, 100, 40), (32, 448, 300)]:
+    for (n, in_f, out_f) in [(16, 256, 192), (8, 100, 40), (32, 448, 300),
+                             (1040, 128, 64)]:
         w = rng.standard_normal((out_f, in_f)).astype(np.float32) * 0.05
         packed, scales = quantize_blockwise(w)
-        # pack/unpack roundtrip
         in_pad = packed.shape[1] * 2
-        wq = unpack_int4_np(np.asarray(packed))
-        assert wq.shape == (out_f, in_pad)
         x = jnp.asarray(rng.standard_normal((n, in_f)), jnp.float32)
         xp = jnp.pad(x, ((0, 0), (0, in_pad - in_f)))
         ours = np.asarray(int4_matmul(xp, jnp.asarray(packed),
@@ -341,3 +340,17 @@ def test_int4_matmul_kernel_matches_dequant():
         ref = np.asarray(x) @ wd.T
         np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-4,
                                    err_msg=f"{(n, in_f, out_f)}")
+
+
+def test_int4_quantization_reconstruction():
+    """Paired-strip quantisation reconstructs within int4 error bounds."""
+    from image2text_tpu.models.quantization import (dequantize_blockwise,
+                                                    quantize_blockwise)
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((16, 200)).astype(np.float32) * 0.05
+    packed, scales = quantize_blockwise(w)
+    back = np.asarray(dequantize_blockwise(jnp.asarray(packed),
+                                           jnp.asarray(scales), 200))
+    err = np.abs(back - w).max() / np.abs(w).max()
+    assert err < 0.12, err
