@@ -21,3 +21,23 @@ jax.config.update("jax_threefry_partitionable", True)
 # persistent compilation cache: repeated pytest runs skip recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _drain_async_dispatch():
+    """Block on every live array after each test.
+
+    JAX dispatch is asynchronous; on the virtual CPU mesh, two collective
+    programs in flight at once (one test's teardown overlapping the next
+    test's launch) can deadlock XLA's per-device rendezvous (observed as a
+    rare `rendezvous.cc` all-gather hang). Draining between tests keeps at
+    most one multi-device program in flight.
+    """
+    yield
+    for a in jax.live_arrays():
+        try:
+            a.block_until_ready()
+        except RuntimeError:
+            pass  # donated/deleted buffers
