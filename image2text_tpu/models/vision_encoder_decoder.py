@@ -90,36 +90,26 @@ class VisionEncoderDecoder(Module):
         return params
 
     # -- mask construction ----------------------------------------------------
-    @staticmethod
-    def _normalize_mask(attn_msk, bs: int, s: int):
-        """Normalize bool masks of rank 2/3/4 to (bs|1, h|1, s, l) bool,
-        mirroring the reference's einops-repeat normalisation
-        (vision_encoder_decoder.py:61-72)."""
-        if attn_msk is None:
-            return None
-        if attn_msk.ndim == 2:
-            if attn_msk.shape[0] == bs:
-                # (bs, s): per-QUERY validity replicated over keys
-                return attn_msk[:, None, :, None] & jnp.ones((1, 1, 1, attn_msk.shape[1]),
-                                                             bool)
-            return attn_msk[None, None, :, :]
-        if attn_msk.ndim == 3:
-            if attn_msk.shape[0] == bs:
-                return attn_msk[:, None, :, :]
-            return attn_msk[None, :, :, :]
-        return attn_msk
-
+    # Reference-exact semantics (vision_encoder_decoder.py:61-120): although
+    # the reference normalises the provided bool mask and ANDs in a causal
+    # tril, its bool→additive conversion
+    # ``attn_msk.masked_fill(~attn_msk, -inf)`` runs on a BOOL tensor — the
+    # -inf fill casts to True, the ``.float()``/``== 1 → 0`` pass then zeroes
+    # the whole block — so the provided mask AND the composite tril are
+    # silently discarded.  The behaviour that actually ships (and that its
+    # trainer — which passes the padding mask, wrapper.py:199 — trains with):
+    #
+    # * causality comes ONLY from the blocks' internal ``is_causal`` masks;
+    # * under soft prompting, prefix query rows are open, text→prefix is
+    #   blocked (-inf), and the text block is fully open;
+    # * without soft prompting the decoder receives no mask at all.
     def forward(self, p, images, ids, attn_msk=None, encoder_output=None,
                 ctx: Ctx = Ctx(), use_flash: bool = True):
         if encoder_output is None:
             encoder_output = self.encoder(p["encoder"], images, ctx=ctx.fold(1))
         bs = encoder_output.shape[0]
         s = ids.shape[-1]
-        attn_msk = self._normalize_mask(attn_msk, bs, s)
-
-        # decoder is causal; AND with the provided mask
-        causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
-        msk_bool = causal if attn_msk is None else jnp.logical_and(attn_msk, causal)
+        del attn_msk  # accepted for API parity; ignored, as in the reference
 
         block_size = self.decoder.block_size
         if self.use_soft_prompting:
@@ -130,14 +120,11 @@ class VisionEncoderDecoder(Module):
                 axis=-2)[..., :block_size, :]
             ncls = encoder_output.shape[-2]
             total = ncls + s
-            # additive bias (bs, 1, total, total): -inf default, prefix query
-            # rows fully open, text block carries the causal+provided mask
+            # additive bias (1, 1, total, total): -inf text→prefix, prefix
+            # query rows and the text block fully open (broadcasts over bs/h)
             bias = jnp.full((1, 1, total, total), NEG_INF, jnp.float32)
             bias = bias.at[..., :ncls, :].set(0.0)
-            bias = jnp.broadcast_to(bias, (bs, 1, total, total))
-            text_bias = jnp.where(msk_bool, 0.0, NEG_INF).astype(jnp.float32)
-            text_bias = jnp.broadcast_to(text_bias, (bs, 1, s, s))
-            bias = bias.at[..., ncls:, ncls:].set(text_bias)
+            bias = bias.at[..., ncls:, ncls:].set(0.0)
             attn_bias = bias[..., :block_size, :block_size]
             dec_ids = None
             offset = ncls
@@ -145,7 +132,7 @@ class VisionEncoderDecoder(Module):
             inputs_embeds = None
             dec_ids = ids
             offset = 0
-            attn_bias = jnp.where(msk_bool, 0.0, NEG_INF).astype(jnp.float32)
+            attn_bias = None
 
         cross_attn_values = encoder_output if self.use_cross_attn else None
         logits, hidden_state = self.decoder(
