@@ -239,3 +239,86 @@ def test_beam_search_deterministic_parity(tmp_path):
     np.testing.assert_array_equal(np.asarray(our_ids), ref_ids.numpy())
     np.testing.assert_allclose(np.asarray(our_scores), ref_scores.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_loss_engine_parity(tmp_path):
+    """val_step and (corruption-free) train_step losses must match the
+    reference wrapper: weighted CE at training_temperature with
+    inverse_sqrt_position weights + eos_token_weight, contrastive loss
+    with inf-filtering, and the momentum-distilled soft-target loss (the
+    freshly-copied teacher makes the train path deterministic)."""
+    torch, RefConfig, RefModel = _load_reference()
+    sys.path.insert(0, REFERENCE)
+    try:
+        from configs.trainer import TrainerWrapperConfig as RefTWC
+        from training.wrapper import ModelTrainerWrapper as RefWrapper
+    finally:
+        sys.path.remove(REFERENCE)
+    import jax
+    import jax.numpy as jnp
+
+    from image2text_tpu.configs.models import VisionEncoderDecoderConfig
+    from image2text_tpu.configs.trainer import TrainerWrapperConfig
+    from image2text_tpu.training.wrapper import (
+        ModelTrainerWrapper,
+        TokenizerInfo,
+    )
+    from image2text_tpu.utils.checkpoint import (
+        update_params_from_partial_checkpoint,
+    )
+
+    payload = _config_payload(**CAUSAL_CASE)
+    trainer_payload = dict(
+        moco_momentum=0.995, moco_alpha=0.4, training_temperature=2.0,
+        training_contrastive_temperature=0.5,
+        weight_fn="inverse_sqrt_position", eos_token_weight=3.0,
+        mask_fraction=0.0, random_mask_fraction=0.2,
+        add_contrastive_loss=True)
+    tok = types.SimpleNamespace(eos_token_id=0, bos_token_id=1,
+                                mask_token_id=2, vocab_size=512)
+
+    torch.manual_seed(0)
+    ref = RefWrapper(RefConfig.model_validate(payload), tok,
+                     RefTWC.model_validate(trainer_payload)).eval()
+    path = str(tmp_path / "ref.npz")
+    np.savez(path, **{k: v.detach().numpy()
+                      for k, v in ref.model.state_dict().items()})
+
+    ours = ModelTrainerWrapper(
+        VisionEncoderDecoderConfig.model_validate(payload),
+        TokenizerInfo(eos_token_id=0, bos_token_id=1, mask_token_id=2,
+                      vocab_size=512),
+        TrainerWrapperConfig.model_validate(trainer_payload))
+    params = ours.init(jax.random.PRNGKey(0))
+    params = dict(params)
+    params["model"] = update_params_from_partial_checkpoint(
+        ours.model, params["model"], path)
+    params["model_m"] = ours.copy_momentum_params(params)
+
+    rng = np.random.default_rng(3)
+    images = rng.standard_normal((3, 3, 64, 64)).astype(np.float32)
+    labels = np.full((3, 20), -100, np.int64)
+    for i, n in enumerate((18, 9, 2)):  # incl. a nearly-empty row
+        labels[i, :n] = rng.integers(3, 512, n)
+
+    with torch.no_grad():
+        ref_loss, ref_metrics = ref.val_step(torch.tensor(images),
+                                             torch.tensor(labels))
+    loss, metrics = ours.val_step(params, jnp.asarray(images),
+                                  jnp.asarray(labels))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    for k, v in ref_metrics.items():
+        np.testing.assert_allclose(float(metrics[k]), float(v), rtol=1e-4,
+                                   err_msg=k)
+
+    # train path: mask_fraction=0 → deterministic; teacher==student copy
+    with torch.no_grad():
+        ref_loss_t, ref_metrics_t = ref.train_step(torch.tensor(images),
+                                                   torch.tensor(labels))
+    loss_t, metrics_t = ours.train_step(params, jnp.asarray(images),
+                                        jnp.asarray(labels),
+                                        jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(loss_t), float(ref_loss_t), rtol=1e-4)
+    np.testing.assert_allclose(float(metrics_t["train_loss_lm"]),
+                               float(ref_metrics_t["train_loss_lm"]),
+                               rtol=1e-4)
