@@ -72,12 +72,19 @@ def main():
     out = gen(params, raw, prompt, jax.random.PRNGKey(0))
     out.block_until_ready()
 
-    iters = 5
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = gen(params, raw, prompt, jax.random.PRNGKey(i + 1))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    # best-of-3 windows: the decode loop is one compiled program per call,
+    # so wall time per window is device time + dispatch; the min window
+    # filters transient host/tunnel latency noise
+    iters = 10
+    dts = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = gen(params, raw, prompt,
+                      jax.random.PRNGKey(w * iters + i + 1))
+        out.block_until_ready()
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
 
     captions = BATCH * iters
     caps_per_sec = captions / dt
