@@ -249,6 +249,13 @@ class TransformerDecoder(Decoder):
 
     # -- KV-cached decoding --------------------------------------------------
     @property
+    def is_causal(self) -> bool:
+        """Block-level causality (the composite model imposes none — the
+        reference's mask conversion discards its tril; see
+        vision_encoder_decoder.py). Generation paths branch on this."""
+        return self.config.transformer_config.is_causal
+
+    @property
     def supports_kv_cache(self) -> bool:
         return True  # incl. sparse layers (rank-among-selected cache slots)
 

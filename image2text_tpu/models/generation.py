@@ -95,6 +95,26 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
     bs = encoder_output.shape[0]
     prompt_ids = jnp.broadcast_to(prompt_ids, (bs, t0))
 
+    if not getattr(model.decoder, "is_causal", True):
+        # Bidirectional decoder (the reference's unit test generates with
+        # one, vision_encoder_decoder_test.py:90-92): every position's
+        # logits see the whole sequence, so the fixed-size jit buffers
+        # below would leak their uninitialised future slots into the
+        # distribution.  Reproduce the reference's growing-sequence
+        # re-forward exactly on the host (one compile per length).
+        ids = prompt_ids
+        for _ in range(max_new_tokens):
+            cond = ids if ids.shape[-1] <= blk_size else ids[..., -blk_size:]
+            out = model(p, images=None, ids=cond,
+                        encoder_output=encoder_output, ctx=EVAL,
+                        use_flash=use_flash)
+            rng, key = jax.random.split(rng)
+            nxt = _sample_step(model, ids, ids.shape[-1],
+                               out.logits[:, -1], key, temperature, top_k,
+                               nucleus_p)
+            ids = jnp.concatenate([ids, nxt[:, None]], axis=-1)
+        return ids
+
     total = t0 + max_new_tokens
     ids_buf = jnp.zeros((bs, total), prompt_ids.dtype)
     ids_buf = jax.lax.dynamic_update_slice_in_dim(ids_buf, prompt_ids, 0, axis=1)

@@ -114,6 +114,13 @@ class BeamSearchTokenGenerator:
                  encoder_output: Optional[jax.Array] = None,
                  use_flash: bool = True) -> Tuple[jax.Array, jax.Array]:
         model = self.model
+        if not getattr(model.decoder, "is_causal", True):
+            raise ValueError(
+                "Beam search needs a causal decoder: with a bidirectional "
+                "decoder every position's logits see the whole fixed-size "
+                "id buffer, so the cached/fallback decode paths would leak "
+                "unwritten future slots. Use model.generate (which has an "
+                "exact growing-sequence path) for such models.")
         bw, bef = self.beam_width, self.beam_expansion_factor
         if rng is None:
             rng = jax.random.PRNGKey(0)

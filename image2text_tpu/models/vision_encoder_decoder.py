@@ -107,7 +107,6 @@ class VisionEncoderDecoder(Module):
                 ctx: Ctx = Ctx(), use_flash: bool = True):
         if encoder_output is None:
             encoder_output = self.encoder(p["encoder"], images, ctx=ctx.fold(1))
-        bs = encoder_output.shape[0]
         s = ids.shape[-1]
         del attn_msk  # accepted for API parity; ignored, as in the reference
 

@@ -24,12 +24,18 @@ jax.config.update("jax_threefry_partitionable", True)
 # differently-featured hosts).
 import hashlib  # noqa: E402
 
+import platform  # noqa: E402
+
 try:
     with open("/proc/cpuinfo") as _f:
-        _flags = next((l for l in _f if l.startswith("flags")), "")
+        # x86 lists 'flags', ARM 'Features'; one line suffices (identical
+        # across cores)
+        _flags = next((l for l in _f
+                       if l.startswith(("flags", "Features"))), "")
 except OSError:
     _flags = ""
-_cache_key = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+_cache_key = hashlib.sha1(
+    f"{platform.machine()}:{_flags}".encode()).hexdigest()[:10]
 jax.config.update("jax_compilation_cache_dir", f"/tmp/jaxcache-tests-{_cache_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -204,6 +204,27 @@ def test_generate_greedy_parity(tmp_path):
     np.testing.assert_array_equal(np.asarray(ours), ref_ids.numpy())
 
 
+def test_generate_noncausal_parity(tmp_path):
+    """The reference's own unit test generates with a bidirectional decoder
+    (vision_encoder_decoder_test.py:90-92) — every position's logits see
+    the whole sequence, so fixed-buffer decoding can't serve it; our
+    growing-sequence host path must match the reference token-for-token."""
+    torch, ref, model, params = _paired_models(tmp_path,
+                                               **CASES["mqa_moe_dense"])
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    images = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    prompt = rng.integers(3, 512, (2, 4))
+
+    with torch.no_grad():
+        ref_ids = ref.generate(torch.tensor(images), torch.tensor(prompt),
+                               max_new_tokens=5, temperature=1.0, top_k=1)
+    ours = model.generate(params, jnp.asarray(images), jnp.asarray(prompt),
+                          max_new_tokens=5, temperature=1.0, top_k=1)
+    np.testing.assert_array_equal(np.asarray(ours), ref_ids.numpy())
+
+
 def test_beam_search_deterministic_parity(tmp_path):
     """temperature<=0 (top-k expansion) + consolidation_temperature<=0
     (top-k consolidation) make stochastic beam search fully deterministic:
