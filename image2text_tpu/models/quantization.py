@@ -15,7 +15,7 @@ top, matching the kbit-training recipe.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import jax
 import jax.numpy as jnp
@@ -23,10 +23,7 @@ import numpy as np
 
 from image2text_tpu.nn.core import Ctx, Module, zeros_init
 from image2text_tpu.nn.modules import Linear
-from image2text_tpu.utils.tree import flatten, unflatten
-
-QBLOCK = 64
-QMAX = 7.0  # symmetric int4
+from image2text_tpu.ops.int4_matmul import QBLOCK
 
 
 def quantize_blockwise(w: np.ndarray, block: int = QBLOCK):
@@ -133,37 +130,3 @@ def assign_imported(flat: Dict, key: str, value: np.ndarray) -> bool:
         flat[key] = jnp.asarray(value)
         return True
     return False
-
-
-def apply_quantization(module: Module, params: Dict,
-                       skip_paths: Iterable[str] = ()) -> Dict:
-    """Post-hoc variant: swap structure AND quantize existing float params
-    (used when weights are already materialised)."""
-    skip = set(skip_paths)
-    flat = flatten(params)
-
-    def walk(parent: Module, prefix: str):
-        from image2text_tpu.models.lora import _LoRAMixin
-
-        for name, child in list(parent._children.items()):
-            path = f"{prefix}.{name}" if prefix else name
-            if path in skip:
-                continue
-            if isinstance(child, _LoRAMixin):
-                continue
-            if type(child) is Linear:
-                qlin = QuantizedLinear(child.in_features, child.out_features,
-                                       bias=child.use_bias)
-                parent._children[name] = qlin
-                for attr, val in list(parent.__dict__.items()):
-                    if val is child:
-                        setattr(parent, attr, qlin)
-                w = np.asarray(flat.pop(f"{path}.weight"))
-                q, s = quantize_blockwise(w)
-                flat[f"{path}.weight"] = jnp.asarray(q)
-                flat[f"{path}.weight_scales"] = jnp.asarray(s)
-            else:
-                walk(child, path)
-
-    walk(module, "")
-    return unflatten(flat)

@@ -112,9 +112,22 @@ def _int4_matmul_kernel(xlo_ref, xhi_ref, w_ref, s_ref, e_ref, o_ref,
         o_ref[:] = acc_scr[:].astype(o_ref.dtype)
 
 
+def _pick_bp(halfw: int, block_in: int = 1024):
+    """Packed-chunk width: full width, or the largest 128-multiple divisor
+    when the array is wider than block_in.  Returns None when the result
+    would violate Mosaic's last-dim %128 tile rule (kernel ineligible)."""
+    bp = halfw
+    if halfw > block_in:
+        for cand in range(block_in // 128 * 128, 0, -128):
+            if halfw % cand == 0:
+                bp = cand
+                break
+    return bp if bp % 128 == 0 else None
+
+
 @functools.partial(jax.jit, static_argnames=("block_out", "block_in"))
-def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
-                block_out: int = 512, block_in: int = 1024) -> jax.Array:
+def _int4_matmul_pallas(x: jax.Array, packed: jax.Array, scales: jax.Array,
+                        block_out: int = 512, block_in: int = 1024) -> jax.Array:
     """x (..., in_pad) · packed (out, in_pad/2) uint8 · scales
     (out, in_pad/QBLOCK) → (..., out) in x.dtype."""
     *lead, in_p = x.shape
@@ -126,14 +139,10 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     bn = min(512, _round_up(n, 8))
     n_p = _round_up(n, bn)
     bo = min(block_out, _round_up(out_f, 128))
-    # packed-chunk width: largest 128-multiple divisor of halfw (full width
-    # is always legal as equal-to-array-dim)
-    bp = halfw
-    if halfw > block_in:
-        for cand in range(block_in // 128 * 128, 0, -128):
-            if halfw % cand == 0:
-                bp = cand
-                break
+    bp = _pick_bp(halfw, block_in)
+    assert bp is not None, (
+        f"int4_matmul dispatched with illegal tile width halfw={halfw}; "
+        "the int4_matmul wrapper should have taken the XLA fallback")
     out_p = _round_up(out_f, bo)
 
     x2 = jnp.pad(x2, ((0, n_p - n), (0, 0)))
@@ -183,3 +192,45 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
         interpret=jax.default_backend() != "tpu",
     )(x2, x2, packed_p, s_k, jnp.asarray(e))
     return out[:n, :out_f].reshape(*lead, out_f)
+
+
+def _int4_matmul_impl(x, packed, scales):
+    halfw = packed.shape[1]
+    if _pick_bp(halfw) is None:
+        # shapes the kernel declines (packed width not tileable to a
+        # 128-multiple, e.g. Falcon's 4544 → halfw 2272): XLA unpack+dot
+        w = dequantize_int4(packed, scales, jnp.float32)  # (out, in_pad)
+        y = jax.lax.dot_general(
+            x.astype(jnp.float32), w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+    return _int4_matmul_pallas(x, packed, scales)
+
+
+@jax.custom_vjp
+def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array) -> jax.Array:
+    """Fused dequant-matmul with autodiff: forward runs the Pallas kernel
+    (XLA fallback for shapes it declines); backward dequantises through XLA
+    — pallas_call has no transpose rule, and the quantized weights are
+    frozen anyway, so only dx is needed (kbit + LoRA training)."""
+    return _int4_matmul_impl(x, packed, scales)
+
+
+def _int4_matmul_fwd(x, packed, scales):
+    return _int4_matmul_impl(x, packed, scales), (packed, scales)
+
+
+def _int4_matmul_bwd(res, g):
+    packed, scales = res
+    w = dequantize_int4(packed, scales, jnp.float32)      # (out, in_pad)
+    dx = jax.lax.dot_general(
+        g.astype(jnp.float32), w,
+        dimension_numbers=(((g.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (dx.astype(g.dtype),
+            np.zeros(packed.shape, jax.dtypes.float0),
+            jnp.zeros_like(scales))
+
+
+int4_matmul.defvjp(_int4_matmul_fwd, _int4_matmul_bwd)

@@ -342,6 +342,46 @@ def test_int4_matmul_kernel_matches_dequant():
                                    err_msg=f"{(n, in_f, out_f)}")
 
 
+def test_int4_matmul_fallback_and_grad():
+    """Shapes the kernel's tiling declines (packed width not a 128-multiple,
+    e.g. Falcon's 4544→2272) must route to the XLA fallback instead of
+    failing Mosaic lowering, and int4_matmul must differentiate (custom VJP
+    dequantises through XLA) so kbit+LoRA training backprops through
+    quantized layers."""
+    from image2text_tpu.models.quantization import QuantizedLinear
+    from image2text_tpu.ops.int4_matmul import _pick_bp, dequantize_int4
+
+    assert _pick_bp(2272) is None      # Falcon n_embd=4544
+    assert _pick_bp(128) == 128
+    assert _pick_bp(4096) is not None
+
+    rng = np.random.default_rng(1)
+    lin = QuantizedLinear(320, 48, bias=True)   # halfw=160 → XLA fallback
+    p = lin.init(jax.random.PRNGKey(0))
+    w = rng.standard_normal((48, 320)).astype(np.float32) * 0.05
+    from image2text_tpu.models.quantization import quantize_blockwise
+    q, s = quantize_blockwise(w)
+    p = {"weight": jnp.asarray(q), "weight_scales": jnp.asarray(s),
+         "bias": p["bias"]}
+    x = jnp.asarray(rng.standard_normal((16, 320)), jnp.float32)
+    y = lin(p, x)                       # n_rows >= 8: kernel-dispatch path
+    wd = np.asarray(dequantize_int4(p["weight"], p["weight_scales"]))[:, :320]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ wd.T,
+                               atol=2e-4, rtol=2e-4)
+
+    # gradient flows through the quantized matmul back to the activations
+    def loss(x):
+        return (lin(p, x) ** 2).sum()
+
+    g = jax.grad(loss)(x)
+    eps = 1e-3
+    x0 = np.asarray(x)
+    d = np.zeros_like(x0)
+    d[0, 0] = eps
+    num = (loss(jnp.asarray(x0 + d)) - loss(jnp.asarray(x0 - d))) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 0]), float(num), rtol=2e-2)
+
+
 def test_int4_quantization_reconstruction():
     """Paired-strip quantisation reconstructs within int4 error bounds."""
     from image2text_tpu.models.quantization import (dequantize_blockwise,
