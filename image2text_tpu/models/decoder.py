@@ -259,6 +259,27 @@ class TransformerDecoder(Decoder):
     def supports_kv_cache(self) -> bool:
         return True  # incl. sparse layers (rank-among-selected cache slots)
 
+    def cache_exact_for_window(self, start: int, end: int) -> bool:
+        """Whether cached decode over global positions [start, end) is exact.
+
+        The reference's sparse bypass rule is global per forward call
+        (<2 positions selected at the current length → EVERY position takes
+        the null path, layers.py:570-577), which makes earlier hidden
+        states change retroactively when the count crosses 2 — a cached
+        prefix cannot reproduce that.  Exact iff, for every sparse layer,
+        the count is already ≥2 at the window start or never reaches 2 by
+        its end (soft-prompt models always qualify: the always-selected CLS
+        prefix keeps the count ≥ n_cls)."""
+        for blk in self.blocks:
+            if not blk.is_sparse:
+                continue
+            c = blk._cum_sel_np
+            at_start = int(c[min(start - 1, len(c) - 1)]) if start > 0 else 0
+            at_end = int(c[min(end - 1, len(c) - 1)]) if end > 0 else 0
+            if at_start < 2 <= at_end:
+                return False
+        return True
+
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
         from image2text_tpu.models.kv_cache import KVCache
 

@@ -110,6 +110,17 @@ class PretrainedViT(Encoder):
         else:
             self.lsh_emb = None
 
+    def frozen_param_paths(self, path: str = ""):
+        out = super().frozen_param_paths(path)
+        if not self.refine:
+            # refine_base_model=False stop-gradients the backbone (forward
+            # below); torch leaves those p.grad None so AdamW never touches
+            # them — freeze explicitly so the optimizer's decoupled weight
+            # decay cannot shrink the "frozen" backbone either
+            prefix = f"{path}.model" if path else "model"
+            out.extend(self.model.param_specs(prefix))
+        return out
+
     def forward(self, p, images, ctx: Ctx = Ctx(), **kwargs):
         x = self.model(p["model"], images, ctx=ctx.fold(1))
         if not self.refine:

@@ -121,8 +121,14 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
 
     cross = encoder_output if model.use_cross_attn else None
 
-    if model.decoder.supports_kv_cache and not force_no_cache:
-        off = model.space_for_prompt
+    off = model.space_for_prompt
+    use_cache = model.decoder.supports_kv_cache and not force_no_cache
+    if use_cache and hasattr(model.decoder, "cache_exact_for_window"):
+        # sparse layers whose global <2-selected bypass rule would flip
+        # mid-window change earlier hidden states retroactively — only the
+        # full-reforward fallback reproduces that
+        use_cache = model.decoder.cache_exact_for_window(off + t0, off + total)
+    if use_cache:
         prefix_in_decode = (getattr(model.decoder, "prefix_in_decode", False)
                             and model.use_soft_prompting)
         if prefix_in_decode:

@@ -140,6 +140,11 @@ class BeamSearchTokenGenerator:
         cross = x if model.use_cross_attn else None
         use_cache = model.decoder.supports_kv_cache
         off = model.space_for_prompt
+        if use_cache and hasattr(model.decoder, "cache_exact_for_window"):
+            # see models/generation.py: sparse global-bypass transitions
+            # mid-window are only exact under full re-forwarding
+            use_cache = model.decoder.cache_exact_for_window(off + t0,
+                                                             off + total)
 
         prefix_in_decode = (getattr(model.decoder, "prefix_in_decode", False)
                             and model.use_soft_prompting)

@@ -426,6 +426,11 @@ class TransformerBlock(Module):
             sel = np.zeros(config.max_block_size, bool)
             sel[idx] = True
             self._sel_mask_np = sel
+            # running count of selected positions ≤ i: the reference's
+            # bypass rule is GLOBAL per forward call (all positions take
+            # the null path while <2 are selected, layers.py:570-577), so
+            # cached decode gates on this cumulative count
+            self._cum_sel_np = np.cumsum(sel)
             self.buffer("input_mask_idx", idx)
             self.buffer("input_mask_not_idx", not_idx)
             self.null_connector = self.add(
@@ -531,7 +536,13 @@ class TransformerBlock(Module):
                 return null_path(x_orig)
             local = np.asarray(local)
             not_local = np.asarray(sorted(set(range(t)) - set(local.tolist())))
-            x = body(jnp.take(x_orig, local, axis=1))
+            x = body(jnp.take(x_orig, local, axis=1))   # writes selected KV
+            # global bypass rule at this chunk's length: <2 selected so far
+            # → every position takes the null path (KV stays written — it
+            # depends only on the layer INPUT and later steps attend it)
+            last = min(int(positions[-1]), len(self._cum_sel_np) - 1)
+            if int(self._cum_sel_np[last]) < 2:
+                return null_path(x_orig)
             x_final = jnp.zeros_like(x_orig)
             x_final = x_final.at[:, local].set(x.astype(x_orig.dtype))
             if len(not_local):
@@ -542,9 +553,13 @@ class TransformerBlock(Module):
         # single-token decode: traced position → gated write + select
         assert t == 1, "traced-position sparse decode is single-token"
         pos = jnp.asarray(positions)[0]
-        selected = jnp.take(jnp.asarray(self._sel_mask_np), pos, mode="clip")
+        in_range = pos < len(self._sel_mask_np)
+        selected = in_range & jnp.take(jnp.asarray(self._sel_mask_np), pos,
+                                       mode="clip")
+        active = selected & (
+            jnp.take(jnp.asarray(self._cum_sel_np), pos, mode="clip") >= 2)
         x = body(x_orig, write=selected)
-        return jnp.where(selected, x, null_path(x_orig))
+        return jnp.where(active, x, null_path(x_orig))
 
 
 # ---------------------------------------------------------------------------

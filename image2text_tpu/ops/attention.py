@@ -86,9 +86,3 @@ def causal_bias(s: int, l: int, dtype=jnp.float32) -> jax.Array:
     col = jnp.arange(l)[None, :]
     neg = jnp.asarray(-jnp.inf, dtype)
     return jnp.where(col <= row, jnp.zeros((), dtype), neg)[None, None]
-
-
-def bool_to_additive(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
-    """Convert a boolean keep-mask to a 0/-inf additive bias."""
-    neg = jnp.asarray(-jnp.inf, dtype)
-    return jnp.where(mask, jnp.zeros((), dtype), neg)

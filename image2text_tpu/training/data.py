@@ -25,6 +25,9 @@ import numpy as np
 
 FLICKR_MEAN = np.asarray((0.4274, 0.4218, 0.3878), np.float32)
 FLICKR_STD = np.asarray((0.2754, 0.2705, 0.2874), np.float32)
+# SWAG ViT-B/16 eval transforms normalize with ImageNet stats
+IMAGENET_MEAN = np.asarray((0.485, 0.456, 0.406), np.float32)
+IMAGENET_STD = np.asarray((0.229, 0.224, 0.225), np.float32)
 
 
 def normalize_label(input_ids: np.ndarray, attn_mask: np.ndarray,
@@ -153,6 +156,7 @@ class Prefetcher:
         self._q = queue.Queue(maxsize=depth)
         self._sentinel = object()
         self._err = None
+        self._done = False
 
         def run():
             try:
@@ -170,19 +174,28 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        if self._done:
+            # the sentinel is consumed exactly once; keep honouring the
+            # iterator contract instead of blocking on the empty queue
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
         item = self._q.get()
         if item is self._sentinel:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration
         return item
 
 
-def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
+def _resize_bilinear(img: np.ndarray, size: int,
+                     size_w: int = None) -> np.ndarray:
     """Minimal host-side bilinear resize (HWC uint8/float → CHW float)."""
     h, w = img.shape[:2]
+    size_w = size if size_w is None else size_w
     ys = (np.arange(size) + 0.5) * h / size - 0.5
-    xs = (np.arange(size) + 0.5) * w / size - 0.5
+    xs = (np.arange(size_w) + 0.5) * w / size_w - 0.5
     y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
     x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
     y1 = np.clip(y0 + 1, 0, h - 1)
@@ -209,6 +222,24 @@ def preprocess_image(img: np.ndarray, size: int = 128) -> np.ndarray:
             ).astype(np.float32)
 
 
+def preprocess_image_vit(img: np.ndarray, size: int = 224) -> np.ndarray:
+    """Pretrained-ViT path: the reference uses the SWAG checkpoint's own
+    eval transforms (`ViT_B_16_Weights.IMAGENET1K_SWAG_LINEAR_V1
+    .transforms()`, trainer.py:73) — resize the shorter side to 224,
+    center-crop 224, normalize with ImageNet stats.  (Interpolation here is
+    bilinear; torchvision's transform uses bicubic — the one documented
+    approximation on this path.)"""
+    h, w = img.shape[:2]
+    scale = size / min(h, w)
+    nh = max(size, int(round(h * scale)))
+    nw = max(size, int(round(w * scale)))
+    chw = _resize_bilinear(img, nh, nw) / 255.0
+    top, left = (nh - size) // 2, (nw - size) // 2
+    chw = chw[:, top:top + size, left:left + size]
+    return ((chw - IMAGENET_MEAN[:, None, None])
+            / IMAGENET_STD[:, None, None]).astype(np.float32)
+
+
 def get_flickr30k_dataloader(tokenizer, batch_size: int, shuffle: bool,
                              is_vit: bool, max_length: int = 256,
                              train_rows: int = 27000):
@@ -224,11 +255,11 @@ def get_flickr30k_dataloader(tokenizer, batch_size: int, shuffle: bool,
 
     ds = load("hub://activeloop/flickr30k")
     tokenizer.pad_token = tokenizer.eos_token
-    size = 224 if is_vit else 128
 
     def _transform(row):
         img = np.asarray(row["image"])
-        out = {"image": preprocess_image(img, size)}
+        out = {"image": preprocess_image_vit(img) if is_vit
+               else preprocess_image(img, 128)}
         for k in range(5):
             tokenized = tokenizer(
                 text=row[f"caption_{k}"][0], max_length=max_length,

@@ -96,6 +96,10 @@ def make_train_step(wrapper: ModelTrainerWrapper, tx,
         rng = jax.random.fold_in(rng, state.step)
         if accum_steps > 1:
             b = images.shape[0]
+            assert b % accum_steps == 0, (
+                f"batch_size {b} must be divisible by "
+                f"gradient_accumulation_steps {accum_steps} "
+                "(silently dropping samples would skew the loss)")
             micro = b // accum_steps
             im = images[:micro * accum_steps].reshape(accum_steps, micro,
                                                       *images.shape[1:])

@@ -210,10 +210,15 @@ class ModelTrainerWrapper(Module):
         out = self.model(params["model"], images, corrupted,
                          attn_msk=attn_msk, ctx=ctx, use_flash=use_flash)
         if self.is_momentum and is_train:
+            # the reference keeps the whole wrapper in train mode, so the
+            # teacher's dropout stays ACTIVE inside torch.no_grad
+            # (training/utils.py:76-81 → wrapper.py:200-202) — give it its
+            # own dropout stream rather than running it deterministically
+            mctx = Ctx(rng=jax.random.fold_in(rng, 29), train=True) \
+                if rng is not None else Ctx(rng=None, train=False)
             out_m = self.model_m(
                 jax.lax.stop_gradient(params["model_m"]), images, corrupted,
-                attn_msk=attn_msk, ctx=Ctx(rng=None, train=False),
-                use_flash=use_flash)
+                attn_msk=attn_msk, ctx=mctx, use_flash=use_flash)
             lm_logits_moco = jax.lax.stop_gradient(out_m.logits)
         else:
             lm_logits_moco = None

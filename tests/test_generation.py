@@ -100,6 +100,25 @@ def test_generate_sparse_cached_equals_fallback():
                                           err_msg=f"t0={t0} {kwargs}")
 
 
+def test_generate_sparse_no_prefix_cached_equals_fallback():
+    """Cross-attn-only sparse model: with no always-selected CLS prefix the
+    reference's global bypass rule (<2 positions selected at the current
+    length → EVERY position takes the null path, layers.py:570-577) is
+    reachable during early decode steps; the cached gate must reproduce it
+    exactly (cumulative-selected-count gating)."""
+    model, params, img = _model_and_inputs(sparse=True, block_size=64,
+                                           use_soft_prompting=False)
+    assert model.decoder.supports_kv_cache
+    for t0 in (1, 2):
+        prompt = jnp.asarray(np.arange(1, 1 + t0)[None].repeat(2, 0))
+        fast = model.generate(params, img, prompt, max_new_tokens=8,
+                              temperature=0.0)
+        slow = model.generate(params, img, prompt, max_new_tokens=8,
+                              temperature=0.0, force_no_cache=True)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow),
+                                      err_msg=f"t0={t0}")
+
+
 def test_beam_search_sparse_cached_equals_fallback():
     model, params, img = _model_and_inputs(sparse=True, block_size=64)
     gen = BeamSearchTokenGenerator(model, beam_width=2, temperature=0.0,

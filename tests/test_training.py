@@ -245,6 +245,28 @@ def test_frozen_params_get_zero_updates():
     assert enc_keys and all(float(jnp.abs(flat[k]).sum()) == 0 for k in enc_keys)
 
 
+def test_pretrained_vit_frozen_backbone_gets_no_weight_decay():
+    """refine_base_model=False stop-gradients the ViT backbone; torch then
+    leaves p.grad None so AdamW skips those params entirely.  Our optimizer
+    must label them 'frozen' (zero updates) — otherwise decoupled weight
+    decay would shrink the 'frozen' backbone every step."""
+    from image2text_tpu.configs.models import PretrainedViTConfig
+    from image2text_tpu.models.encoder import PretrainedViT
+
+    for refine in (False, True):
+        enc = PretrainedViT(PretrainedViTConfig(
+            n_cls=4, n_embd_out_vit=32, refine_base_model=refine,
+            gate_sizes=(16,)))
+        frozen = set(enc.frozen_param_paths())
+        backbone = set(enc.model.param_specs("model"))
+        if refine:
+            assert not (backbone & frozen)
+        else:
+            assert backbone <= frozen
+            # projection head stays trainable
+            assert not any(p.startswith("proj.") for p in frozen)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end smoke train on the 8-device mesh
 # ---------------------------------------------------------------------------
