@@ -35,6 +35,7 @@ def import_gpt2_state_dict(params: Dict, sd_hf: Mapping[str, "np.ndarray"],
                            loose: bool = False) -> Dict:
     """Copy a HF GPT2LMHeadModel state dict into a TransformerDecoder tree."""
     flat = flatten(params)
+    consumed = set()
     for k, v in sd_hf.items():
         if k.endswith(".attn.masked_bias") or k.endswith(".attn.bias"):
             continue  # causal-mask buffers, not parameters
@@ -49,13 +50,31 @@ def import_gpt2_state_dict(params: Dict, sd_hf: Mapping[str, "np.ndarray"],
             continue
         if flat[k].shape == v.shape:
             flat[k] = jnp.asarray(v)
+            consumed.add(k)
         elif k == "transformer.wte.weight" and flat[k].shape[0] > v.shape[0] \
                 and flat[k].shape[1] == v.shape[1]:
             # vocab grew (extra special tokens): keep our init for new rows,
             # mirroring HF resize_token_embeddings + copy (decoder.py:72-75)
             flat[k] = flat[k].at[: v.shape[0]].set(jnp.asarray(v))
+            consumed.add(k)
         elif not loose:
             raise ValueError(f"{k} is not the same shape in state dict!!!")
+    if not loose:
+        # the reverse direction of strictness: every base GPT-2 param in
+        # OUR tree must have been filled (cross-attn/LoRA additions are
+        # ours; a key subset that happens to shape-match must not silently
+        # leave layers at random init)
+        base = {p for p in flat
+                if p.startswith(("transformer.wte.", "transformer.wpe.",
+                                 "transformer.ln_f.", "transformer.h."))
+                and ".crossattention." not in p and ".ln_cross_attn." not in p
+                and ".lora_A." not in p and ".lora_B." not in p}
+        missing = sorted(base - consumed)
+        if missing:
+            raise ValueError(
+                f"{len(missing)} base params missing from the GPT-2 state "
+                f"dict (first: {missing[:4]}); refusing a partial strict "
+                "import")
     return unflatten(flat)
 
 

@@ -149,8 +149,8 @@ class _MLP(Module):
         self.dropout_rate = dropout_rate
 
     def forward(self, p, x, ctx: Ctx = Ctx(), **kwargs):
-        h = gelu_tanh(self.c_fc(p["c_fc"], x))
-        h = self.c_proj(p["c_proj"], h)
+        h = gelu_tanh(self.c_fc(p["c_fc"], x, ctx=ctx.fold(11)))
+        h = self.c_proj(p["c_proj"], h, ctx=ctx.fold(12))
         h, ctx = dropout(h, self.dropout_rate, ctx)
         return h
 
@@ -296,7 +296,9 @@ class MultiHeadAttention(SelfAttention):
                 kv_cache=None, causal: bool = False, cache_write=None, **kwargs):
         b, t, c = x.shape
         hd = c // self.n_head
-        qkv = self.c_attn(p["c_attn"], x)
+        # ctx threads into the projections so LoRA-wrapped layers can apply
+        # their adapter dropout in train mode
+        qkv = self.c_attn(p["c_attn"], x, ctx=ctx.fold(11))
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         k_do, q_do, v_do, ctx = _token_dropout((b, 1, t, 1), self.attn_dropout, ctx)
@@ -313,7 +315,7 @@ class MultiHeadAttention(SelfAttention):
                  dropout_rate=self.resid_dropout if ctx.train else 0.0,
                  ctx=ctx.fold(3), use_flash=use_flash, causal=causal)
         y = y.transpose(0, 2, 1, 3).reshape(b, q.shape[2], c)
-        y = self.c_proj(p["c_proj"], y)
+        y = self.c_proj(p["c_proj"], y, ctx=ctx.fold(12))
         y, ctx = dropout(y, self.resid_dropout, ctx.fold(4))
         return y
 
@@ -342,8 +344,8 @@ class MultiQueryAttention(SelfAttention):
                 kv_cache=None, causal: bool = False, cache_write=None, **kwargs):
         b, t, c = x.shape
         hd = c // self.n_head
-        q = self.q_proj(p["q_proj"], x)
-        kv = self.kv_proj(p["kv_proj"], x)
+        q = self.q_proj(p["q_proj"], x, ctx=ctx.fold(11))
+        kv = self.kv_proj(p["kv_proj"], x, ctx=ctx.fold(13))
         k, v = jnp.split(kv, 2, axis=-1)
 
         k_do, q_do, v_do, ctx = _token_dropout((b, 1, t, 1), self.attn_dropout, ctx)
@@ -358,7 +360,7 @@ class MultiQueryAttention(SelfAttention):
                  dropout_rate=self.resid_dropout if ctx.train else 0.0,
                  ctx=ctx.fold(3), use_flash=use_flash, causal=causal)
         y = y.transpose(0, 2, 1, 3).reshape(b, q.shape[2], c)
-        y = self.out_proj(p["out_proj"], y)
+        y = self.out_proj(p["out_proj"], y, ctx=ctx.fold(12))
         y, ctx = dropout(y, self.resid_dropout, ctx.fold(4))
         return y
 

@@ -33,6 +33,12 @@ class _LoRAMixin:
         self.r = r
         self.scaling = lora_alpha / r
         self.lora_dropout = lora_dropout
+        # base params keep their ORIGINAL owner class so owner-based init
+        # policies (e.g. the decoder's GPT-2 N(0,0.02) pass, decoder.py:148)
+        # still see them as plain Linear/QuantizedLinear params
+        base_owner = type(self).__mro__[2].__name__
+        for spec in self._params.values():
+            spec.owner = base_owner
         lora_a = Module()
         lora_a.param("weight", (r, self.in_features),
                      uniform_init(1.0 / math.sqrt(self.in_features)))
@@ -71,16 +77,23 @@ def make_lora_wrapper(base, r: int, lora_alpha: int, lora_dropout: float):
                                 bias=base.use_bias)
         w._init_lora(r, lora_alpha, lora_dropout)
         return w
-    return LoRALinear(base, r, lora_alpha, lora_dropout)
+    if type(base) is Linear:
+        return LoRALinear(base, r, lora_alpha, lora_dropout)
+    raise TypeError(
+        f"Don't know how to LoRA-wrap {type(base).__name__} without losing "
+        "its class-specific params; add a wrapper class for it")
 
 
 def _matches_target(path: str, targets) -> bool:
+    """peft semantics: a plain target matches the module name at a segment
+    boundary (key == t or key.endswith('.' + t)); glob targets fnmatch."""
     import fnmatch
 
-    leaf = path.split(".")[-1]
     for t in targets:
-        if path.endswith(t) or leaf == t or fnmatch.fnmatch(path, t) \
-                or fnmatch.fnmatch(path, f"*{t}"):
+        if any(ch in t for ch in "*?["):
+            if fnmatch.fnmatch(path, t) or fnmatch.fnmatch(path, f"*.{t}"):
+                return True
+        elif path == t or path.endswith("." + t):
             return True
     return False
 
@@ -90,7 +103,10 @@ def apply_lora(module: Module, lora_spec: Optional[LoraSpec]) -> Module:
     if lora_spec is None:
         return module
 
+    n_wrapped = 0
+
     def walk(parent: Module, prefix: str):
+        nonlocal n_wrapped
         for name, child in list(parent._children.items()):
             path = f"{prefix}.{name}" if prefix else name
             if isinstance(child, Linear) and not isinstance(child, _LoRAMixin) \
@@ -100,6 +116,7 @@ def apply_lora(module: Module, lora_spec: Optional[LoraSpec]) -> Module:
                                             lora_spec.lora_alpha,
                                             lora_spec.lora_dropout)
                 parent._children[name] = wrapped
+                n_wrapped += 1
                 # keep python attribute references in sync when present
                 for attr, val in list(parent.__dict__.items()):
                     if val is child:
@@ -108,6 +125,12 @@ def apply_lora(module: Module, lora_spec: Optional[LoraSpec]) -> Module:
                 walk(child, path)
 
     walk(module, "")
+    if n_wrapped == 0:
+        # peft raises here too — otherwise the freeze below would silently
+        # train NOTHING (every param frozen, no adapters)
+        raise ValueError(
+            f"Target modules {lora_spec.target_modules} not found in the "
+            "model; nothing was LoRA-wrapped")
     module._lora_freeze_all = True
     if lora_spec.force_enable_update_modules is not None:
         module._force_enable = PatternMatcher(lora_spec.force_enable_update_modules)

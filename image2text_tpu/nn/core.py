@@ -209,7 +209,16 @@ class Module:
             for name, child in self._children.items():
                 out.extend(child.frozen_param_paths(f"{path}.{name}" if path else name))
         if self._force_enable is not None:
-            out = [p for p in out if not self._force_enable.match(p)]
+            # match against both the fully-prefixed path and the path
+            # relative to this module, so patterns written in the reference
+            # convention (decoder-relative names) re-enable params even when
+            # the wrapper/composite adds 'model.decoder.' prefixes
+            def enabled(p: str) -> bool:
+                rel = p[len(path) + 1:] if path and p.startswith(path + ".") \
+                    else p
+                return self._force_enable.match(p) or \
+                    self._force_enable.match(rel)
+            out = [p for p in out if not enabled(p)]
         return out
 
     def split_specs(self, path: str = "") -> Dict[str, Tuple[str, int]]:

@@ -165,6 +165,8 @@ class MultiheadAttention(Module):
         self.param("in_proj_weight", (3 * embed_dim, embed_dim), xavier_uniform_init())
         self.param("in_proj_bias", (3 * embed_dim,), zeros_init())
         out_proj = Linear(embed_dim, embed_dim, bias=True)
+        # torch._reset_parameters zeroes the out_proj bias
+        out_proj._params["bias"].init_fn = zeros_init()
         self.add("out_proj", out_proj)
         self.out_proj = out_proj
 

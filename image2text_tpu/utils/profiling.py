@@ -25,10 +25,10 @@ class TraceWindow:
     def step(self, i: int) -> None:
         if self.logdir is None:
             return
-        if i == self.start and not self._active:
+        if i == self.start and self.stop > self.start and not self._active:
             jax.profiler.start_trace(self.logdir)
             self._active = True
-        elif i == self.stop and self._active:
+        elif i >= self.stop and self._active:
             jax.profiler.stop_trace()
             self._active = False
 
