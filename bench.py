@@ -2,17 +2,38 @@
 
 Prints ONE JSON line:
     {"metric": "captions_per_sec", "value": N, "unit": "captions/s",
-     "vs_baseline": N, ...}
+     "vs_baseline": N, "mfu": ..., "flops_per_caption": ...,
+     "batch_scaling": [...], ...}
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
 measured against the driver's north-star target of 5,000 Flickr30K
 captions/sec on a v5e-8 (BASELINE.json), scaled to the number of available
 chips — i.e. the single-chip target is 5000/8 captions/sec.
 
-The benched pipeline is the real serving path: image → encoder → KV-cached
-batched sampling (top-k, temperature, no-repeat-ngram processors) on the
-``tpu/nano-mini.yaml`` flagship architecture with randomly initialised
-weights (quality is benchmarked by training runs, not here).
+Methodology (round-2 rework — every claim must be physically verifiable):
+
+* **FLOP accounting.** Per-call FLOPs come from XLA's own cost model
+  (``compiled.cost_analysis()['flops']``) on the exact compiled program,
+  cross-checked against an analytic matmul-term estimate of the same
+  architecture (``analytic_flops_per_caption``).  The JSON emits
+  ``flops_per_caption``, ``implied_flops_per_sec`` and ``mfu`` against the
+  chip's bf16 peak — an MFU ≥ 1.0 would mean the timing is broken, and the
+  script fails loudly rather than print it.
+* **Fenced timing.** Each timed window chains a data dependency through
+  every iteration (iteration i+1's prompt is sliced from iteration i's
+  output) and ends with ``np.asarray(out)`` — a device→host copy of the
+  result bytes — so the window cannot close before the device finished
+  *computing* (``block_until_ready`` alone proved unreliable through the
+  axon tunnel: round-1 recorded flat latency across an 8× batch sweep,
+  i.e. it fenced dispatch, not execution).
+* **Batch scaling table.** Latency is reported for batch 128→1024; once
+  compute-bound it must grow with batch.  Median-of-windows, not min.
+
+The benched pipeline is the real serving path: raw uint8 frames →
+on-device fused preprocessing → encoder → KV-cached batched sampling
+(top-k, temperature, no-repeat-ngram) on the ``tpu/nano-mini.yaml``
+flagship architecture with randomly initialised weights (quality is
+benchmarked by training runs, not here).
 """
 from __future__ import annotations
 
@@ -27,69 +48,207 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
-# the KV-cached decode loop is per-step-latency-bound, not compute-bound:
-# measured batch latency is flat from 128 to 1024 (~1.6 ms / 32 tokens), so
-# serving throughput scales linearly with batch on one chip
-BATCH = 1024
 MAX_NEW_TOKENS = 32
 PROMPT_LEN = 1
 NORTH_STAR_V5E8 = 5000.0  # captions/sec on 8 chips (BASELINE.json)
 
+# bf16 peak FLOP/s per chip, by jax device_kind substring (public specs)
+_PEAK_BF16 = [
+    ("v5 lite", 197e12),   # TPU v5e
+    ("v5e", 197e12),
+    ("v5p", 459e12),
+    ("v4", 275e12),
+    ("v6", 918e12),        # Trillium
+    ("v3", 123e12),
+    ("v2", 46e12),
+]
 
-def main():
+
+def chip_peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return 197e12  # default to v5e if unrecognised
+
+
+def analytic_flops_per_caption(cfg, max_new_tokens: int,
+                               prompt_len: int) -> float:
+    """Matmul-term FLOP estimate (2·m·k·n) for one caption through the
+    flagship serving path: encoder forward + cached prefill + per-token
+    decode.  Elementwise/softmax terms are ignored (<2% of total).
+
+    Cross-checks the XLA cost model; the two must agree within ~2×.
+    """
+    enc = cfg.model.vision_encoder_config
+    dec = cfg.model.decoder_config
+    etc, dtc = enc.transformer_config, dec.transformer_config
+    d = etc.attn_config.n_embd
+    fl = 0.0
+
+    # --- encoder -----------------------------------------------------------
+    h = w = enc.input.width
+    cin = enc.input.n_channels
+    ks = enc.feature_extractor_kernel_size[0] ** 2
+    for cout in list(enc.feature_extractor_gate_sizes) + [enc.n_channels]:
+        fl += 2.0 * h * w * ks * cin * cout  # 'same' conv keeps H×W
+        cin = cout
+    n_patch = enc.num_patches ** 2
+    patch_dim = enc.n_channels * (h // enc.num_patches) ** 2
+    fl += 2.0 * n_patch * patch_dim * d  # patch projection
+
+    s_full = n_patch + enc.n_cls
+    s = (int(etc.sparsity_factor * etc.max_block_size)
+         if etc.is_sparse_attn else s_full)
+
+    def moe_linear(fin, fout, rc):
+        gate = 2.0 * fin * rc.gate_sizes[0] + 2.0 * rc.gate_sizes[0] * rc.num_experts
+        per_expert = 2.0 * fin * rc.proj_features + 2.0 * rc.proj_features * fout
+        return gate + rc.top_k * per_expert
+
+    def block_flops(tc, n_tokens, kv_len, cross_len=0):
+        ac = tc.attn_config
+        dd = ac.n_embd
+        kv_dim = 2 * (dd // ac.n_head) if ac.attn_type.value == "multi_query" else 2 * dd
+        per_tok = 2.0 * dd * dd            # q proj
+        per_tok += 2.0 * dd * kv_dim       # kv proj
+        per_tok += 2.0 * 2.0 * kv_len * dd  # scores + weighted sum (all heads)
+        per_tok += 2.0 * dd * dd           # out proj
+        if cross_len:
+            per_tok += 2.0 * dd * dd       # cross q proj
+            per_tok += 2.0 * 2.0 * cross_len * dd
+            per_tok += 2.0 * dd * dd       # cross out proj
+        if tc.rotator_config is not None:
+            hidden = tc.rotator_config.ff_mult_factor * dd
+            per_tok += moe_linear(dd, hidden, tc.rotator_config)
+            per_tok += moe_linear(hidden, dd, tc.rotator_config)
+        else:
+            hidden = 4 * dd
+            per_tok += 2.0 * dd * hidden * 2
+        return per_tok * n_tokens
+
+    fl += enc.n_layer * block_flops(etc, s, s)
+
+    # --- decode ------------------------------------------------------------
+    cross_len = enc.n_cls if cfg.model.use_cross_attn else 0
+    if cross_len:
+        # per-layer cross K/V precompute, once per caption
+        fl += dec.n_layer * 2.0 * cross_len * d * (2 * d)
+    s_dec = (int(dtc.sparsity_factor * dtc.max_block_size)
+             if dtc.is_sparse_attn else dec.block_size)
+    cache_len = min(enc.n_cls + prompt_len + max_new_tokens, s_dec)
+    n_toks = prompt_len + max_new_tokens
+    fl += dec.n_layer * block_flops(dtc, n_toks, cache_len,
+                                    cross_len=cross_len)
+    fl += 2.0 * n_toks * d * dec.vocab_size  # lm_head
+    return fl
+
+
+def _build():
     from __graft_entry__ import _flagship_config
     from image2text_tpu.models.vision_encoder_decoder import VisionEncoderDecoder
+    from image2text_tpu.ops.preprocess import resize_normalize_on_device
 
     dev = jax.devices()[0]
     cfg = _flagship_config(tiny=False)
-    # the true flagship config, sparse decoder included: sparse layers decode
-    # against rank-among-selected KV-cache slots
     model = VisionEncoderDecoder(cfg.model)
     params = jax.device_put(model.init(jax.random.PRNGKey(0)), dev)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
-    from image2text_tpu.ops.preprocess import resize_normalize_on_device
-
-    rng = np.random.default_rng(0)
-    # the full serving pipeline: raw uint8 camera-shaped frames in, fused
-    # on-device preprocessing (u8->f32, bilinear resize, normalize) feeding
-    # the encoder + KV-cached sampler in ONE compiled program
-    raw = jax.device_put(jnp.asarray(
-        rng.integers(0, 256, (BATCH, 160, 240, 3)), jnp.uint8), dev)
-    prompt = jax.device_put(
-        jnp.ones((BATCH, PROMPT_LEN), jnp.int32), dev)
-
-    @jax.jit
     def gen(params, raw, prompt, rng):
         images = resize_normalize_on_device(raw, 128, out_dtype=jnp.bfloat16)
         return model.generate(params, images, prompt,
                               max_new_tokens=MAX_NEW_TOKENS,
                               temperature=0.7, top_k=16, rng=rng)
 
-    # compile + warmup
-    out = gen(params, raw, prompt, jax.random.PRNGKey(0))
-    out.block_until_ready()
+    return cfg, params, jax.jit(gen), dev
 
-    # best-of-3 windows: the decode loop is one compiled program per call,
-    # so wall time per window is device time + dispatch; the min window
-    # filters transient host/tunnel latency noise
+
+def _inputs(batch, dev):
+    rng = np.random.default_rng(0)
+    raw = jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (batch, 160, 240, 3)), jnp.uint8), dev)
+    prompt = jax.device_put(jnp.ones((batch, PROMPT_LEN), jnp.int32), dev)
+    return raw, prompt
+
+
+def _timed_window(gen_fn, params, raw, prompt, iters, seed):
+    """One fenced timing window: iteration i+1 consumes iteration i's
+    output (data-dependency chain), and the window closes on a full
+    device→host copy of the final result."""
+    t0 = time.perf_counter()
+    p = prompt
+    out = None
+    for i in range(iters):
+        out = gen_fn(params, raw, p, jax.random.PRNGKey(seed * iters + i + 1))
+        # next prompt depends on this output: serialize on device
+        p = jnp.maximum(out[:, :PROMPT_LEN], 1)
+    fence = np.asarray(out)  # D2H copy: cannot complete before compute does
+    dt = time.perf_counter() - t0
+    assert fence.shape[0] == raw.shape[0]
+    return dt
+
+
+def main():
+    cfg, params, gen_fn, dev = _build()
+
+    flops_analytic = analytic_flops_per_caption(cfg, MAX_NEW_TOKENS,
+                                                PROMPT_LEN)
+
+    # ---- batch scaling table (also warms up every shape) -------------------
+    scaling = []
+    per_batch = {}
+    for batch in (128, 256, 512, 1024):
+        raw, prompt = _inputs(batch, dev)
+        np.asarray(gen_fn(params, raw, prompt, jax.random.PRNGKey(0)))  # warm
+        iters = 4
+        dts = sorted(_timed_window(gen_fn, params, raw, prompt, iters, s)
+                     for s in range(3))
+        lat_ms = dts[1] / iters * 1000.0  # median window
+        scaling.append({"batch": batch, "latency_ms": round(lat_ms, 2),
+                        "captions_per_sec": round(batch / (lat_ms / 1e3), 1)})
+        per_batch[batch] = lat_ms
+
+    # pick the best-throughput batch as the headline number, re-timed longer
+    best_batch = max(per_batch, key=lambda b: b / per_batch[b])
+    raw, prompt = _inputs(best_batch, dev)
     iters = 10
-    dts = []
-    for w in range(3):
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = gen(params, raw, prompt,
-                      jax.random.PRNGKey(w * iters + i + 1))
-        out.block_until_ready()
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
+    dts = sorted(_timed_window(gen_fn, params, raw, prompt, iters, 10 + s)
+                 for s in range(3))
+    dt = dts[1]
+    caps_per_sec = best_batch * iters / dt
+    lat_ms = dt / iters * 1000.0
 
-    captions = BATCH * iters
-    caps_per_sec = captions / dt
-    tokens_per_sec = caps_per_sec * MAX_NEW_TOKENS
-    p50_latency_ms = dt / iters * 1000.0  # per-batch latency
+    # ---- FLOP accounting (XLA cost model on the exact compiled program) ----
+    flops_xla = None
+    try:
+        lowered = gen_fn.lower(params, raw, prompt, jax.random.PRNGKey(0))
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and "flops" in ca:
+            flops_xla = float(ca["flops"]) / best_batch
+    except Exception:
+        pass
+    flops_per_caption = flops_xla if flops_xla else flops_analytic
+
+    implied = caps_per_sec * flops_per_caption
+    peak = chip_peak_flops(dev)
+    mfu = implied / peak
+    assert mfu < 1.0, (
+        f"MFU {mfu:.2f} >= 1: implied {implied:.3e} FLOP/s exceeds the "
+        f"chip's bf16 peak {peak:.3e} — the timing fence is broken; do not "
+        f"publish this number")
+    # latency must grow with batch once compute-bound: 8x batch within
+    # measurement noise of flat means we timed dispatch, not execution
+    if per_batch[1024] < 1.5 * per_batch[128]:
+        raise AssertionError(
+            f"batch-1024 latency ({per_batch[1024]:.2f} ms) is not "
+            f">=1.5x batch-128 latency ({per_batch[128]:.2f} ms): flat "
+            f"scaling across 8x compute means the window closed on "
+            f"dispatch, not device execution")
 
     n_chips = max(1, len(jax.devices()))
     target = NORTH_STAR_V5E8 * n_chips / 8.0
@@ -98,11 +257,21 @@ def main():
         "value": round(caps_per_sec, 2),
         "unit": "captions/s",
         "vs_baseline": round(caps_per_sec / target, 4),
-        "decode_tokens_per_sec": round(tokens_per_sec, 1),
-        "batch_latency_ms": round(p50_latency_ms, 2),
-        "batch": BATCH,
+        "decode_tokens_per_sec": round(caps_per_sec * MAX_NEW_TOKENS, 1),
+        "batch_latency_ms": round(lat_ms, 2),
+        "batch": best_batch,
         "max_new_tokens": MAX_NEW_TOKENS,
+        "flops_per_caption": round(flops_per_caption),
+        "flops_per_caption_analytic": round(flops_analytic),
+        "flops_per_caption_xla": round(flops_xla) if flops_xla else None,
+        "implied_flops_per_sec": round(implied),
+        "chip_peak_bf16_flops": peak,
+        "mfu": round(mfu, 4),
+        "batch_scaling": scaling,
+        "timing": "median-of-3 fenced windows (D2H-materialized, "
+                  "data-dependency chained)",
         "device": str(dev.platform),
+        "device_kind": getattr(dev, "device_kind", "?"),
         "n_devices": n_chips,
         "model": "tpu/nano-mini (12L enc + 12L dec, 1024d, MQA/MoE/sparse)",
     }))

@@ -63,5 +63,6 @@ class TrainingConfig(BaseModel):
     # --- TPU extensions (absent from reference YAMLs; default off) ---
     mesh: MeshConfig = MeshConfig()
     seed: int = 0
-    dataset: str = "flickr30k"  # or "synthetic" for offline smoke runs
+    dataset: str = "flickr30k"  # or "synthetic" / "local" for offline runs
+    dataset_dir: Optional[str] = None  # image dir for dataset: local
     profile_dir: Optional[str] = None  # jax.profiler trace output dir

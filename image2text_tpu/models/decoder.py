@@ -5,7 +5,7 @@
   tying, alternating cross-attention, advanced positional MLP, MoE/sparse
   options (decoder.py:161-283).
 * HF decoder family (GPT-2 / Falcon / Llama-2 / Qwen-2) — first-party JAX
-  ports with HF-checkpoint importers, in models/hf_decoder.py.
+  ports with HF-checkpoint importers, in models/hf_decoders/.
 
 Weight tying is structural here: ``lm_head`` reads the ``wte`` table, and the
 checkpoint layer materialises the reference's duplicated ``lm_head.weight``
@@ -78,8 +78,8 @@ class Decoder(Module):
                 model = apply_lora(model, config.lora_spec)
             return model
         if isinstance(config, HuggingfaceDecoderConfig):
-            from image2text_tpu.models.hf_decoder import hf_decoder_from_config
-            return hf_decoder_from_config(config)
+            from image2text_tpu.models.hf_decoders.factory import build_hf_decoder
+            return build_hf_decoder(config)
         raise ValueError("Unknown config type!!!")
 
     def get_inputs_embeds(self, p, idx):

@@ -69,13 +69,42 @@ def no_repeat_ngram_bias(ids_buf: jax.Array, cur_len: jax.Array,
     return bias
 
 
+def chunked_top_k(logits: jax.Array, k: int,
+                  chunk: int = 2048) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a large vocab, TPU-fast.
+
+    ``jax.lax.top_k`` over a (B, 50k) row is a full-row sort — measured at
+    ~6 ms per decode step at batch 128 on v5e (the round-1 serving
+    bottleneck).  Sorting 2048-wide chunks and re-selecting among the
+    per-chunk winners returns the identical top-k VALUES at a fraction of
+    the sort work (exact as long as k <= chunk, asserted).
+
+    Returns (values, indices), both (..., k), values descending.
+    """
+    v = logits.shape[-1]
+    if v <= chunk:
+        return jax.lax.top_k(logits, k)
+    assert k <= chunk, (k, chunk)
+    lead = logits.shape[:-1]
+    c = -(-v // chunk)
+    pad = c * chunk - v
+    if pad:
+        logits = jnp.pad(logits, [(0, 0)] * len(lead) + [(0, pad)],
+                         constant_values=NEG_INF)
+    vals, idx = jax.lax.top_k(logits.reshape(*lead, c, chunk), k)
+    idx = idx + (jnp.arange(c) * chunk)[:, None]
+    vals = vals.reshape(*lead, c * k)
+    idx = idx.reshape(*lead, c * k)
+    vals, sel = jax.lax.top_k(vals, k)
+    return vals, jnp.take_along_axis(idx, sel, axis=-1)
+
+
 def apply_top_k(logits: jax.Array, top_k: Optional[int]) -> jax.Array:
     """Keep the top-k logits, set the rest to -inf (reference :155-157)."""
     if top_k is None:
         return logits
     k = min(top_k, logits.shape[-1])
-    v = jax.lax.top_k(logits, k)[0]
-    kth = v[..., -1:]
+    kth = chunked_top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
@@ -101,6 +130,14 @@ def sample_logits(logits: jax.Array, rng: jax.Array, temperature: float = 1.0,
                   nucleus_p: Optional[float] = None) -> jax.Array:
     """The generate() sampling pipeline on final-step logits (B, V)."""
     logits = logits.astype(jnp.float32) / temperature
+    if top_k is not None and nucleus_p is None:
+        # hot serving path: sample among the k winners directly — same
+        # distribution as categorical over the top-k-masked vocab, without
+        # materialising a (B, V) masked array per step
+        k = min(top_k, logits.shape[-1])
+        vals, idx = chunked_top_k(logits, k)
+        choice = jax.random.categorical(rng, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
     logits = apply_top_k(logits, top_k)
     if nucleus_p is not None:
         probs = jax.nn.softmax(logits, axis=-1)

@@ -225,37 +225,44 @@ def preprocess_image(img: np.ndarray, size: int = 128) -> np.ndarray:
 def preprocess_image_vit(img: np.ndarray, size: int = 224) -> np.ndarray:
     """Pretrained-ViT path: the reference uses the SWAG checkpoint's own
     eval transforms (`ViT_B_16_Weights.IMAGENET1K_SWAG_LINEAR_V1
-    .transforms()`, trainer.py:73) — resize the shorter side to 224,
-    center-crop 224, normalize with ImageNet stats.  (Interpolation here is
-    bilinear; torchvision's transform uses bicubic — the one documented
-    approximation on this path.)"""
+    .transforms()`, trainer.py:73) — resize the shorter side to 224
+    **bicubic**, center-crop 224, normalize with ImageNet stats.
+
+    Interpolation is PIL bicubic (antialiased), which is what torchvision
+    applies to PIL inputs; for tensor inputs torchvision uses
+    F.interpolate(bicubic, antialias=True), whose output differs from PIL
+    by <1e-2 per normalized pixel (quantified in
+    tests/test_data_pipeline.py::test_vit_preprocess_matches_torch_bicubic).
+    Falls back to the host bilinear resize if PIL is unavailable."""
     h, w = img.shape[:2]
     scale = size / min(h, w)
     nh = max(size, int(round(h * scale)))
     nw = max(size, int(round(w * scale)))
-    chw = _resize_bilinear(img, nh, nw) / 255.0
+    try:
+        from PIL import Image
+
+        pil = Image.fromarray(img.astype(np.uint8))
+        chw = (np.asarray(pil.resize((nw, nh), Image.BICUBIC),
+                          np.float32).transpose(2, 0, 1)) / 255.0
+    except ImportError:
+        chw = _resize_bilinear(img, nh, nw) / 255.0
     top, left = (nh - size) // 2, (nw - size) // 2
     chw = chw[:, top:top + size, left:left + size]
     return ((chw - IMAGENET_MEAN[:, None, None])
             / IMAGENET_STD[:, None, None]).astype(np.float32)
 
 
-def get_flickr30k_dataloader(tokenizer, batch_size: int, shuffle: bool,
-                             is_vit: bool, max_length: int = 256,
-                             train_rows: int = 27000):
-    """Deep Lake streaming path (reference trainer.py:68-102).  Requires the
-    ``deeplake`` package and network access; offline runs use
-    :class:`SyntheticFlickrDataset` (config ``dataset: synthetic``)."""
-    try:
-        from deeplake import load  # type: ignore
-    except ImportError as e:
-        raise RuntimeError(
-            "deeplake is not available in this environment; set "
-            "dataset: synthetic in the TrainingConfig") from e
+def make_row_transform(tokenizer, is_vit: bool, max_length: int = 256):
+    """Per-row transform matching the reference's ``_transform``
+    (trainer.py:84-94): image → torchvision-equivalent preprocessing
+    (128px + Flickr stats, or the SWAG ViT eval transforms), plus all 5
+    captions tokenized to ``max_length`` padded.
 
-    ds = load("hub://activeloop/flickr30k")
-    tokenizer.pad_token = tokenizer.eos_token
-
+    The row contract (what Deep Lake's transform receives per sample):
+    ``row["image"]`` is asarray-able to (H, W, 3) uint8, and
+    ``row["caption_k"]`` is a sequence whose element 0 is the caption text
+    (reference trainer.py:77-82, 89-93 — ``_tok(data)`` tokenizes
+    ``x[0]``)."""
     def _transform(row):
         img = np.asarray(row["image"])
         out = {"image": preprocess_image_vit(img) if is_vit
@@ -268,22 +275,117 @@ def get_flickr30k_dataloader(tokenizer, batch_size: int, shuffle: bool,
             out[f"attn_mask_{k}"] = np.asarray(tokenized["attention_mask"])
         return out
 
-    def batcher(rows, seed):
-        def gen():
-            order = np.arange(len(rows))
-            if shuffle:
-                np.random.default_rng(seed).shuffle(order)
-            buf = []
-            for i in order:
-                buf.append(_transform(rows[int(i)]))
-                if len(buf) == batch_size:
-                    yield {k: np.stack([r[k] for r in buf]) for k in buf[0]}
-                    buf = []
-        class _Iterable:
-            def __iter__(self):
-                return gen()
-            def __len__(self):
-                return len(rows) // batch_size
-        return _Iterable()
+    return _transform
 
-    return batcher(ds[:train_rows], 0), batcher(ds[train_rows:], 1)
+
+class RowBatcher:
+    """Shuffle + transform + stack a row-indexable dataset into batch
+    dicts — the buffered/shuffled half of the reference's
+    ``ds.pytorch(batch_size=…, shuffle=…, transform=…)`` dataloaders
+    (trainer.py:95-101), as a plain host-side iterable."""
+
+    def __init__(self, rows, transform, batch_size: int, shuffle: bool,
+                 seed: int):
+        self.rows = rows
+        self.transform = transform
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def __len__(self):
+        # torch-DataLoader semantics (drop_last=False): final partial batch
+        return -(-len(self.rows) // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(len(self.rows))
+        if self.shuffle:
+            np.random.default_rng(self.seed).shuffle(order)
+        buf = []
+        for i in order:
+            buf.append(self.transform(self.rows[int(i)]))
+            if len(buf) == self.batch_size:
+                yield {k: np.stack([r[k] for r in buf]) for k in buf[0]}
+                buf = []
+        if buf:
+            yield {k: np.stack([r[k] for r in buf]) for k in buf[0]}
+
+
+def get_flickr30k_dataloader(tokenizer, batch_size: int, shuffle: bool,
+                             is_vit: bool, max_length: int = 256,
+                             train_rows: int = 27000):
+    """Deep Lake streaming path (reference trainer.py:68-102).  Requires the
+    ``deeplake`` package and network access; offline runs use
+    :class:`SyntheticFlickrDataset` (config ``dataset: synthetic``) or
+    :func:`get_local_dataloader` for real images on disk.  The Deep Lake
+    API contract this relies on (``load()``, view slicing, integer row
+    indexing, per-key tensor access) is pinned by the mocked integration
+    test ``tests/test_data_pipeline.py``."""
+    try:
+        from deeplake import load  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "deeplake is not available in this environment; set "
+            "dataset: synthetic in the TrainingConfig, or dataset: local "
+            "with dataset_dir pointing at an image directory") from e
+
+    ds = load("hub://activeloop/flickr30k")
+    tokenizer.pad_token = tokenizer.eos_token
+    transform = make_row_transform(tokenizer, is_vit, max_length)
+    return (RowBatcher(ds[:train_rows], transform, batch_size, shuffle, 0),
+            RowBatcher(ds[train_rows:], transform, batch_size, shuffle, 1))
+
+
+class _LocalRows:
+    """Row adapter over an on-disk caption directory, presenting the same
+    row interface the Deep Lake transform consumes."""
+
+    def __init__(self, entries, root):
+        self.entries = entries  # list of (image_path, [5 captions])
+        self.root = root
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i):
+        import os
+
+        path, captions = self.entries[i]
+        full = os.path.join(self.root, path)
+        if full.endswith(".npy"):
+            img = np.load(full)
+        else:
+            from PIL import Image
+
+            img = np.asarray(Image.open(full).convert("RGB"))
+        row = {"image": img}
+        for k in range(5):
+            row[f"caption_{k}"] = [captions[k % len(captions)]]
+        return row
+
+
+def get_local_dataloader(tokenizer, batch_size: int, shuffle: bool,
+                         is_vit: bool, dataset_dir: str,
+                         max_length: int = 256,
+                         val_fraction: float = 0.1):
+    """Non-network real-image path: a directory of images plus a
+    ``captions.json`` mapping relative image path → list of captions
+    (≤5 are cycled to 5, matching Flickr30K's 5-caption shape).  Same
+    transforms/tokenization/splitting semantics as the Deep Lake path —
+    the offline stand-in for ``hub://activeloop/flickr30k``."""
+    import json
+    import os
+
+    with open(os.path.join(dataset_dir, "captions.json")) as f:
+        mapping = json.load(f)
+    entries = sorted((path, caps if isinstance(caps, list) else [caps])
+                     for path, caps in mapping.items())
+    if not entries:
+        raise ValueError(f"no rows in {dataset_dir}/captions.json")
+    n_val = max(1, int(len(entries) * val_fraction)) if len(entries) > 1 else 0
+    n_train = len(entries) - n_val
+    tokenizer.pad_token = tokenizer.eos_token
+    transform = make_row_transform(tokenizer, is_vit, max_length)
+    train = _LocalRows(entries[:n_train], dataset_dir)
+    val = _LocalRows(entries[n_train:] if n_val else entries[:], dataset_dir)
+    return (RowBatcher(train, transform, batch_size, shuffle, 0),
+            RowBatcher(val, transform, batch_size, shuffle, 1))

@@ -24,9 +24,23 @@ class SyntheticTokenizer:
         self.mask_token = "<MSK>"
         self.pad_token = self.eos_token
 
-    def __call__(self, text: str, **kwargs):
+    def __call__(self, text: str, max_length: Optional[int] = None,
+                 truncation=None, padding=None, **kwargs):
         ids = [self._encode_tok(t) for t in text.split()]
-        return type("Enc", (), {"input_ids": ids})()
+        mask = [1] * len(ids)
+        if max_length is not None and truncation:
+            ids, mask = ids[:max_length], mask[:max_length]
+        if padding == "max_length" and max_length is not None:
+            pad = max_length - len(ids)
+            ids = ids + [self.eos_token_id] * pad
+            mask = mask + [0] * pad
+
+        class Enc(dict):  # HF BatchEncoding duck-type: item + attr access
+            pass
+
+        enc = Enc(input_ids=ids, attention_mask=mask)
+        enc.input_ids, enc.attention_mask = ids, mask
+        return enc
 
     def _encode_tok(self, tok: str) -> int:
         specials = {self.eos_token: 0, self.bos_token: 1, self.mask_token: 2}

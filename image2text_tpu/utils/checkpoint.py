@@ -59,11 +59,27 @@ def collect_tied_aliases(module: Module, prefix: str = "") -> Dict[str, str]:
     return out
 
 
+def _to_host(v) -> np.ndarray:
+    """Materialise a (possibly mesh-sharded) array on the host.
+
+    ``np.asarray`` alone crashes on arrays that are not fully addressable
+    (TP-sharded params under a multi-host mesh): gather such arrays across
+    processes first.  Fully-addressable sharded arrays (single-process TP)
+    assemble directly."""
+    import jax
+
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        v = multihost_utils.process_allgather(v, tiled=True)
+    return np.asarray(v)
+
+
 def export_state_dict(module: Module, params: Dict) -> Dict[str, np.ndarray]:
     """Flatten params to torch-style names, materialising tied aliases and
     splitting stacked params (e.g. MoE experts) into their reference-style
-    per-index keys."""
-    flat = {k: np.asarray(v) for k, v in flatten(params).items()}
+    per-index keys.  Sharded params are gathered to the host first."""
+    flat = {k: _to_host(v) for k, v in flatten(params).items()}
     for stacked, (template, count) in module.split_specs().items():
         if stacked in flat:
             arr = flat.pop(stacked)

@@ -278,3 +278,38 @@ def test_beam_search_cached_equals_fallback():
     np.testing.assert_array_equal(np.asarray(ids_fast), np.asarray(ids_slow))
     np.testing.assert_allclose(np.asarray(sc_fast), np.asarray(sc_slow),
                                atol=1e-4)
+
+
+def test_chunked_top_k_exact():
+    """chunked_top_k returns lax.top_k's exact values/behaviour on a
+    larger-than-chunk vocab (incl. non-divisible sizes and ties)."""
+    from image2text_tpu.models.sampling import chunked_top_k
+
+    rng = np.random.default_rng(0)
+    for v in (50258, 4096, 777):
+        logits = jnp.asarray(rng.standard_normal((5, v)), jnp.float32)
+        vals, idx = chunked_top_k(logits, 16, chunk=2048)
+        ref_vals, _ = jax.lax.top_k(logits, 16)
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(ref_vals))
+        # indices point at the values they claim
+        np.testing.assert_array_equal(
+            np.take_along_axis(np.asarray(logits), np.asarray(idx), axis=-1),
+            np.asarray(vals))
+
+
+def test_sample_logits_topk_distribution():
+    """The fast top-k sampling path only emits top-k ids, with frequencies
+    matching the softmax over the kept logits."""
+    from image2text_tpu.models.sampling import sample_logits
+
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((2000, 512)) * 2, jnp.float32)
+    ids = np.asarray(sample_logits(logits, jax.random.PRNGKey(0),
+                                   temperature=1.0, top_k=4))
+    ref_vals, ref_idx = jax.lax.top_k(logits, 4)
+    ok = (ids[:, None] == np.asarray(ref_idx)).any(axis=-1)
+    assert ok.all()
+    # the argmax token should be the most frequent choice overall
+    p = jax.nn.softmax(ref_vals, axis=-1)
+    assert abs(float(np.mean(ids == np.asarray(ref_idx)[:, 0]))
+               - float(np.mean(p[:, 0]))) < 0.05

@@ -75,6 +75,14 @@ def build_dataloaders(config: TrainingConfig, tokenizer):
         val_ds = SyntheticFlickrDataset(
             4000, inner_bs, image_size=image_size, vocab_size=vocab,
             eos_token_id=tokenizer.eos_token_id, seed=config.seed + 1)
+    elif config.dataset == "local":
+        from image2text_tpu.training.data import get_local_dataloader
+
+        train_ds, val_ds = get_local_dataloader(
+            tokenizer, inner_bs, config.shuffle,
+            isinstance(config.model.vision_encoder_config,
+                       PretrainedViTConfig),
+            dataset_dir=config.dataset_dir)
     else:
         train_ds, val_ds = get_flickr30k_dataloader(
             tokenizer, inner_bs, config.shuffle,
