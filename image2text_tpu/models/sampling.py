@@ -152,5 +152,5 @@ def gumbel_topk_sample(log_probs: jax.Array, k: int,
     Returns (ids, gathered log_probs), both (..., k).
     """
     g = jax.random.gumbel(rng, log_probs.shape, jnp.float32)
-    _, ids = jax.lax.top_k(log_probs + g, k)
+    _, ids = chunked_top_k(log_probs + g, k)
     return ids, jnp.take_along_axis(log_probs, ids, axis=-1)

@@ -1,0 +1,123 @@
+"""On-chip gpt2-medium int4+LoRA training footprint (VERDICT item 7).
+
+Runs `training_configs/tpu/gpt2-medium.yaml` (24-layer GPT-2-medium
+decoder, int4-quantized frozen base + LoRA adapters + cross-attention,
+sparse scratch ViT encoder) for a few real train steps on the TPU with
+RANDOM-INIT weights (no network: the HF checkpoint fetch is stubbed out —
+weight VALUES don't affect footprint or step time), and reports:
+
+* parameter-tree HBM bytes, split frozen-int4 vs float, and the bf16
+  bytes the quantized leaves would otherwise occupy;
+* device memory in use after init and after one step (memory_stats);
+* per-step wall time (fenced) at the YAML's batch size.
+
+Run:  python tools/bench_gpt2_medium_int4.py [--bf16-baseline]
+Appends one JSON line per variant to GPT2M_INT4.json for PARITY.md.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import yaml
+
+sys.path.insert(0, ".")
+
+
+def main(load_in_4bit: bool):
+    import image2text_tpu.models.hf_decoders.factory as factory
+
+    factory.load_hf_weights = lambda decoder, params: params  # offline
+
+    from image2text_tpu.configs.trainer import TrainingConfig
+    from image2text_tpu.training.loop import (
+        TrainState,
+        make_train_step,
+    )
+    from image2text_tpu.training.optimizer import build_optimizer
+    from image2text_tpu.training.wrapper import (
+        ModelTrainerWrapper,
+        TokenizerInfo,
+    )
+    from image2text_tpu.utils.tree import flatten
+
+    with open("training_configs/tpu/gpt2-medium.yaml") as f:
+        cfg = TrainingConfig.model_validate(yaml.safe_load(f))
+    cfg.model.decoder_config.load_in_4bit = load_in_4bit
+    cfg.gradient_accumulation_steps = 1
+
+    tok = TokenizerInfo(eos_token_id=50256, bos_token_id=50256,
+                        mask_token_id=None, vocab_size=50257)
+    wrapper = ModelTrainerWrapper(cfg.model, tok, cfg.trainer,
+                                  ignore_index=cfg.ignore_index)
+    params = wrapper.init(jax.random.PRNGKey(0))
+
+    flat = flatten(params)
+    int_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                    for v in flat.values()
+                    if not jnp.issubdtype(v.dtype, jnp.floating))
+    float_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                      for v in flat.values()
+                      if jnp.issubdtype(v.dtype, jnp.floating))
+    # what the packed-uint8 leaves would cost in bf16 (2 values/byte -> 4x)
+    bf16_equiv = sum(int(np.prod(v.shape)) * 4 for v in flat.values()
+                     if v.dtype == jnp.uint8)
+
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    tx, _, _ = build_optimizer(wrapper, params, cfg.optimizers,
+                               use_snr=cfg.use_snr_optim)
+    step = jax.jit(make_train_step(wrapper, tx, 1, cfg.precision),
+                   donate_argnums=(0,))
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    stats_init = dict(dev.memory_stats() or {})
+
+    rng = np.random.default_rng(0)
+    b = cfg.batch_size
+    images = jax.device_put(jnp.asarray(
+        rng.standard_normal((b, 3, 128, 128)), jnp.float32), dev)
+    labels = np.full((b, 48), -100, np.int64)
+    for i, n in enumerate(rng.integers(8, 40, b)):
+        labels[i, :n] = rng.integers(3, 50000, n)
+    labels = jax.device_put(jnp.asarray(labels), dev)
+
+    state, metrics = step(state, images, labels, jax.random.PRNGKey(0))
+    jax.block_until_ready(metrics)
+    stats_step = dict(dev.memory_stats() or {})
+
+    t0 = time.perf_counter()
+    iters = 5
+    for i in range(iters):
+        state, metrics = step(state, images, labels, jax.random.PRNGKey(i))
+    np.asarray(metrics["train_loss_lm"])  # D2H fence
+    dt = (time.perf_counter() - t0) / iters
+
+    out = {
+        "variant": "int4+lora" if load_in_4bit else "bf16-frozen+lora",
+        "config": "training_configs/tpu/gpt2-medium.yaml (random init)",
+        "batch": b,
+        "step_ms": round(dt * 1000, 1),
+        "loss": round(float(metrics["train_loss_lm"]), 4),
+        "param_bytes_int": int_bytes,
+        "param_bytes_float": float_bytes,
+        "quantized_leaves_bf16_equivalent_bytes": bf16_equiv,
+        "hbm_bytes_in_use_after_init": stats_init.get("bytes_in_use"),
+        "hbm_bytes_in_use_after_step": stats_step.get("bytes_in_use"),
+        "hbm_peak_bytes": stats_step.get("peak_bytes_in_use"),
+        "device_kind": getattr(dev, "device_kind", "?"),
+    }
+    print(json.dumps(out))
+    with open("GPT2M_INT4.json", "a") as f:
+        f.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main(load_in_4bit="--bf16-baseline" not in sys.argv)
