@@ -39,15 +39,16 @@ def no_repeat_ngram_bias(ids_buf: jax.Array, cur_len: jax.Array,
     j + n <= cur_len (HF semantics: windows fully inside the sequence).
     """
     b, l = ids_buf.shape
-    bias = jnp.zeros((b, vocab_size), jnp.float32)
+    banned_all = []
+    pen_all = []
     for n in ngram_sizes:
         if n < 1 or l < n:
             continue
         if n == 1:
             # every seen token is banned
             seen = jnp.arange(l)[None, :] < cur_len
-            pen = jnp.where(seen, NEG_INF, 0.0)
-            bias = bias.at[jnp.arange(b)[:, None], ids_buf].min(pen)
+            banned_all.append(ids_buf)
+            pen_all.append(jnp.where(seen, NEG_INF, 0.0))
             continue
         # suffix: last n-1 tokens → positions [cur_len-n+1, cur_len-1]
         suf_pos = cur_len - (n - 1) + jnp.arange(n - 1)          # (n-1,)
@@ -63,10 +64,17 @@ def no_repeat_ngram_bias(ids_buf: jax.Array, cur_len: jax.Array,
         # HF only bans once the suffix itself exists (cur_len >= n-1 ... and
         # a full window fits: cur_len >= n)
         match = match & valid[None, :] & (cur_len >= n)
-        banned = ids_buf[:, jnp.minimum(jnp.arange(l) + (n - 1), l - 1)]  # (B, L)
-        pen = jnp.where(match, NEG_INF, 0.0)
-        bias = bias.at[jnp.arange(b)[:, None], banned].min(pen)
-    return bias
+        banned_all.append(
+            ids_buf[:, jnp.minimum(jnp.arange(l) + (n - 1), l - 1)])  # (B, L)
+        pen_all.append(jnp.where(match, NEG_INF, 0.0))
+    bias = jnp.zeros((b, vocab_size), jnp.float32)
+    if not banned_all:
+        return bias
+    # ONE scatter-min over the concatenated (banned, penalty) lists — a
+    # decode step touches a single (B, V) array instead of one per n
+    banned = jnp.concatenate(banned_all, axis=-1)
+    pen = jnp.concatenate(pen_all, axis=-1)
+    return bias.at[jnp.arange(b)[:, None], banned].min(pen)
 
 
 def chunked_top_k(logits: jax.Array, k: int,
@@ -108,21 +116,57 @@ def apply_top_k(logits: jax.Array, top_k: Optional[int]) -> jax.Array:
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
-def nucleus_sample(probs: jax.Array, nucleus_p: float,
-                   rng: jax.Array) -> jax.Array:
-    """Top-p sample ids from probabilities, reference semantics
-    (vision_encoder_decoder.py:160-178): sort desc, keep the prefix with
-    cumulative mass ≤ max(p, p₀), renormalise, multinomial."""
-    sorted_probs, sorted_idx = jax.lax.sort_key_val(
-        -probs, jnp.broadcast_to(jnp.arange(probs.shape[-1]), probs.shape))
-    sorted_probs = -sorted_probs
+def _nucleus_choose(sorted_probs: jax.Array, rng: jax.Array,
+                    nucleus_p: float) -> jax.Array:
+    """Choice index into descending-sorted probabilities, reference
+    semantics: keep the prefix with cumulative mass ≤ max(p, p₀),
+    renormalise, multinomial."""
     cum = jnp.cumsum(sorted_probs, axis=-1)
     threshold = jnp.maximum(nucleus_p, sorted_probs[..., :1])
     keep = cum <= threshold
     trunc = jnp.where(keep, sorted_probs, 0.0)
     logp = jnp.log(jnp.maximum(trunc, 1e-30)) + jnp.where(keep, 0.0, NEG_INF)
-    choice = jax.random.categorical(rng, logp, axis=-1)
-    return jnp.take_along_axis(sorted_idx, choice[..., None], axis=-1)[..., 0]
+    return jax.random.categorical(rng, logp, axis=-1)
+
+
+def nucleus_sample(probs: jax.Array, nucleus_p: float, rng: jax.Array,
+                   top_cap: int = 2048) -> jax.Array:
+    """Top-p sample ids from probabilities, reference semantics
+    (vision_encoder_decoder.py:160-178): sort desc, keep the prefix with
+    cumulative mass ≤ max(p, p₀), renormalise, multinomial.
+
+    Large vocabs avoid the full-row sort: the kept prefix almost always
+    lies inside the top ``top_cap`` probabilities (its mass must only
+    reach max(p, p₀)), so a chunked partial sort suffices; a
+    ``lax.cond`` falls back to the exact full sort for the rare batch
+    where the top-``top_cap`` mass does not strictly cover the
+    threshold — the fast path is an optimisation, never an
+    approximation."""
+    v = probs.shape[-1]
+
+    def full(probs):
+        sorted_probs, sorted_idx = jax.lax.sort_key_val(
+            -probs, jnp.broadcast_to(jnp.arange(v), probs.shape))
+        sorted_probs = -sorted_probs
+        choice = _nucleus_choose(sorted_probs, rng, nucleus_p)
+        return jnp.take_along_axis(sorted_idx, choice[..., None],
+                                   axis=-1)[..., 0]
+
+    if v <= top_cap:
+        return full(probs)
+
+    vals, idx = chunked_top_k(probs, top_cap, chunk=max(2048, top_cap))
+    # exactness gate: positions beyond the cap have cumsum > cum[cap-1];
+    # if cum[cap-1] > max(p, p₀) strictly, every kept position is inside
+    total = jnp.sum(vals, axis=-1, keepdims=True)
+    threshold = jnp.maximum(nucleus_p, vals[..., :1])
+    inside = jnp.all(total > threshold)
+
+    def fast(_):
+        choice = _nucleus_choose(vals, rng, nucleus_p)
+        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
+
+    return jax.lax.cond(inside, fast, lambda _: full(probs), None)
 
 
 def sample_logits(logits: jax.Array, rng: jax.Array, temperature: float = 1.0,

@@ -313,3 +313,34 @@ def test_sample_logits_topk_distribution():
     p = jax.nn.softmax(ref_vals, axis=-1)
     assert abs(float(np.mean(ids == np.asarray(ref_idx)[:, 0]))
                - float(np.mean(p[:, 0]))) < 0.05
+
+
+def test_nucleus_large_vocab_fast_path_exact():
+    """On a >top_cap vocab, the chunked nucleus path must keep the same
+    token set as the full sort (same kept mask -> same distribution), and
+    the exactness gate must route flat distributions to the full sort."""
+    from image2text_tpu.models.sampling import nucleus_sample
+
+    rng = np.random.default_rng(0)
+    # peaked distribution: the nucleus easily sits inside the top-64
+    logits = jnp.asarray(rng.standard_normal((8, 50258)) * 4, jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ids_fast = np.asarray(nucleus_sample(probs, 0.6, jax.random.PRNGKey(0),
+                                         top_cap=4096))
+    # the sampled token must be inside the true nucleus of each row
+    s = np.asarray(probs)
+    order = np.argsort(-s, axis=-1)
+    for r in range(8):
+        srt = s[r, order[r]]
+        cum = np.cumsum(srt)
+        thr = max(0.6, srt[0])
+        kept = order[r][cum <= thr]
+        assert ids_fast[r] in kept
+
+    # near-uniform distribution with p=0.999: top-4096 of 50258 cannot
+    # cover the threshold -> gate must take the exact full-sort branch
+    flat = jnp.full((2, 50258), 1.0 / 50258, jnp.float32)
+    ids_flat = np.asarray(nucleus_sample(flat, 0.999, jax.random.PRNGKey(1),
+                                         top_cap=4096))
+    assert ids_flat.shape == (2,)
+    assert (ids_flat >= 0).all() and (ids_flat < 50258).all()

@@ -30,6 +30,7 @@ import numpy as np
 import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from test_reference_parity import (  # noqa: E402
     MOE,
     REFERENCE,
