@@ -38,6 +38,7 @@ benchmarked by training runs, not here).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -51,6 +52,10 @@ import jax.numpy as jnp
 MAX_NEW_TOKENS = 32
 PROMPT_LEN = 1
 NORTH_STAR_V5E8 = 5000.0  # captions/sec on 8 chips (BASELINE.json)
+# BENCH_SMOKE=1: tiny model + small batches — validates the bench pipeline
+# (incl. the multi-device sharded path on a CPU mesh) without a TPU
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+BATCHES = (8, 16) if SMOKE else (128, 256, 512, 1024)
 
 # bf16 peak FLOP/s per chip, by jax device_kind substring (public specs)
 _PEAK_BF16 = [
@@ -150,27 +155,46 @@ def _build():
     from image2text_tpu.ops.preprocess import resize_normalize_on_device
 
     dev = jax.devices()[0]
-    cfg = _flagship_config(tiny=False)
+    cfg = _flagship_config(tiny=SMOKE)
     model = VisionEncoderDecoder(cfg.model)
-    params = jax.device_put(model.init(jax.random.PRNGKey(0)), dev)
+    # multi-chip serving: params replicated, batch sharded P('data') over
+    # every available chip — XLA partitions the whole compiled generate
+    # (scales the v5e-8 north-star setup; single chip reduces to the
+    # device_put below)
+    if len(jax.devices()) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        put_params = lambda t: jax.device_put(t, NamedSharding(mesh, P()))
+        data_sharding = NamedSharding(mesh, P("data"))
+    else:
+        put_params = lambda t: jax.device_put(t, dev)
+        data_sharding = dev
+    params = put_params(model.init(jax.random.PRNGKey(0)))
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
+    im_size = cfg.model.vision_encoder_config.input.width
+
     def gen(params, raw, prompt, rng):
-        images = resize_normalize_on_device(raw, 128, out_dtype=jnp.bfloat16)
+        images = resize_normalize_on_device(raw, im_size,
+                                            out_dtype=jnp.bfloat16)
         return model.generate(params, images, prompt,
                               max_new_tokens=MAX_NEW_TOKENS,
                               temperature=0.7, top_k=16, rng=rng)
 
-    return cfg, params, jax.jit(gen), dev
+    return cfg, params, jax.jit(gen), dev, data_sharding
 
 
-def _inputs(batch, dev):
+def _inputs(batch, sharding):
     rng = np.random.default_rng(0)
+    size = 80 if SMOKE else None
     raw = jax.device_put(jnp.asarray(
-        rng.integers(0, 256, (batch, 160, 240, 3)), jnp.uint8), dev)
-    prompt = jax.device_put(jnp.ones((batch, PROMPT_LEN), jnp.int32), dev)
+        rng.integers(0, 256, (batch, size or 160, size and size // 2 * 3 or 240, 3)),
+        jnp.uint8), sharding)
+    prompt = jax.device_put(jnp.ones((batch, PROMPT_LEN), jnp.int32),
+                            sharding)
     return raw, prompt
 
 
@@ -192,7 +216,7 @@ def _timed_window(gen_fn, params, raw, prompt, iters, seed):
 
 
 def main():
-    cfg, params, gen_fn, dev = _build()
+    cfg, params, gen_fn, dev, data_sharding = _build()
 
     flops_analytic = analytic_flops_per_caption(cfg, MAX_NEW_TOKENS,
                                                 PROMPT_LEN)
@@ -200,8 +224,8 @@ def main():
     # ---- batch scaling table (also warms up every shape) -------------------
     scaling = []
     per_batch = {}
-    for batch in (128, 256, 512, 1024):
-        raw, prompt = _inputs(batch, dev)
+    for batch in BATCHES:
+        raw, prompt = _inputs(batch, data_sharding)
         np.asarray(gen_fn(params, raw, prompt, jax.random.PRNGKey(0)))  # warm
         iters = 4
         dts = sorted(_timed_window(gen_fn, params, raw, prompt, iters, s)
@@ -213,7 +237,7 @@ def main():
 
     # pick the best-throughput batch as the headline number, re-timed longer
     best_batch = max(per_batch, key=lambda b: b / per_batch[b])
-    raw, prompt = _inputs(best_batch, dev)
+    raw, prompt = _inputs(best_batch, data_sharding)
     iters = 10
     dts = sorted(_timed_window(gen_fn, params, raw, prompt, iters, 10 + s)
                  for s in range(3))
@@ -235,7 +259,7 @@ def main():
     flops_per_caption = flops_xla if flops_xla else flops_analytic
 
     implied = caps_per_sec * flops_per_caption
-    peak = chip_peak_flops(dev)
+    peak = chip_peak_flops(dev) * max(1, len(jax.devices()))
     mfu = implied / peak
     assert mfu < 1.0, (
         f"MFU {mfu:.2f} >= 1: implied {implied:.3e} FLOP/s exceeds the "
@@ -243,12 +267,13 @@ def main():
         f"publish this number")
     # latency must grow with batch once compute-bound: 8x batch within
     # measurement noise of flat means we timed dispatch, not execution
-    if per_batch[1024] < 1.5 * per_batch[128]:
+    lo, hi = BATCHES[0], BATCHES[-1]
+    if not SMOKE and per_batch[hi] < 1.5 * per_batch[lo]:
         raise AssertionError(
-            f"batch-1024 latency ({per_batch[1024]:.2f} ms) is not "
-            f">=1.5x batch-128 latency ({per_batch[128]:.2f} ms): flat "
-            f"scaling across 8x compute means the window closed on "
-            f"dispatch, not device execution")
+            f"batch-{hi} latency ({per_batch[hi]:.2f} ms) is not "
+            f">=1.5x batch-{lo} latency ({per_batch[lo]:.2f} ms): flat "
+            f"scaling across {hi // lo}x compute means the window closed "
+            f"on dispatch, not device execution")
 
     n_chips = max(1, len(jax.devices()))
     target = NORTH_STAR_V5E8 * n_chips / 8.0

@@ -151,14 +151,38 @@ def bench_int4():
     return rows
 
 
+def calibration_tflops() -> float:
+    """Sustained bf16 TFLOP/s on a plain 4096^3 matmul in this harness.
+
+    Validity gate for every number in this file: a healthy v5e sustains
+    >100 TFLOP/s here; a reading far below means the chip/tunnel is
+    degraded and the table must not be used for dispatch decisions."""
+    n = 4096
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a)
+
+    def chain(out, args):
+        return (args[0] + (out[:1, :1] * 0).astype(args[0].dtype),)
+
+    ms = timed_ms(f, chain, a, iters=20)
+    return 2 * n ** 3 / ms / 1e9
+
+
 def main():
     dev = jax.devices()[0]
+    calib = calibration_tflops()
+    print(f"calibration: {calib:.1f} TFLOP/s sustained on 4096^3 bf16 "
+          f"matmul", flush=True)
     result = {
         "device_kind": getattr(dev, "device_kind", "?"),
         "platform": str(dev.platform),
         "dtype": "bfloat16",
         "timing": "median-of-3 fenced windows "
                   "(D2H-materialized, data-dependency chained)",
+        "calibration_matmul_tflops": round(calib, 1),
+        "calibration_note": "healthy v5e sustains >100 here; far lower "
+                            "means the chip/tunnel was degraded during "
+                            "this run and the table is NOT decision-grade",
         "attention": bench_attention(),
         "int4_matmul": bench_int4(),
     }
