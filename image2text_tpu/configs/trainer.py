@@ -66,3 +66,6 @@ class TrainingConfig(BaseModel):
     dataset: str = "flickr30k"  # or "synthetic" / "local" for offline runs
     dataset_dir: Optional[str] = None  # image dir for dataset: local
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    # ZeRO-1: shard optimizer moments over the mesh 'data' axis (cuts
+    # optimizer HBM by the dp degree; XLA all-gathers updates over ICI)
+    zero_sharded_optimizer: bool = False

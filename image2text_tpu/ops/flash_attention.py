@@ -22,9 +22,16 @@ harmless uniform average, and those padding rows never feed the loss).
 ``causal=True`` applies the decode-window mask (col <= row + skv − sq)
 inside the kernels and skips blocks outside the causal band entirely.
 
-Default tiles (512×1024 fwd) are from an on-chip sweep: measured vs XLA's
-fused attention (bf16, MQA) the forward is 1.13× faster at s=320, 3.3× at
-s=2048, 4.5× at s=4096.
+Measurement status (round 2): two on-chip sweeps disagree — an early
+round-1 sweep had XLA ahead below s≈4096, a post-tile-retuning round-1
+sweep had flash ahead from s=320 (1.13×) to s=4096 (4.5×), and the
+round-2 `bench_kernels.py` re-run landed on a degraded chip
+(calibration ~1.6 TFLOP/s vs >100 healthy — see BENCH_KERNELS.json) so it
+cannot arbitrate.  Until a healthy-chip sweep is recorded, treat
+BENCH_KERNELS.json (with its calibration gate) as the only source of
+truth and regard the dispatch threshold in
+``flash_attention_compatible`` as provisional.  Default tiles: 512×1024
+forward.
 
 Layout notes (MXU/VPU): head_dim pads to a multiple of 128 lanes (zero K/Q
 columns don't change scores; zero V columns produce zero output columns,

@@ -98,3 +98,41 @@ def place_params(params, mesh: Mesh):
     """device_put the parameter tree with TP shardings."""
     shardings = tp_param_shardings(params, mesh)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def zero_opt_state_shardings(opt_state, mesh: Mesh,
+                             min_size: int = 16384):
+    """ZeRO-1-style placements for optimizer moments: shard over 'data'.
+
+    The reference has nothing like this (accelerate DDP replicates Adam
+    moments on every rank); on TPU the idiomatic form is pure sharding
+    annotation — each large replicated moment leaf gets
+    ``P('data', None, …)`` and XLA turns the weight-update math into
+    per-shard compute followed by an all-gather of the (small) updates
+    over ICI, cutting optimizer HBM by the data-parallel degree.
+
+    Rules per leaf: floating arrays only; leading axis divisible by the
+    data-axis size; at least ``min_size`` elements (tiny tensors aren't
+    worth a collective); leaves that already carry a TP sharding (their
+    param was model-sharded, inherited through ``tx.init``'s zeros_like)
+    are left alone.  Returns a matching pytree of NamedShardings.
+    """
+    import jax.numpy as jnp
+
+    data = mesh.shape.get("data", 1)
+
+    def rule(leaf):
+        repl = NamedSharding(mesh, P())
+        if not hasattr(leaf, "shape") or leaf.ndim < 1:
+            return repl
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return repl
+        sh = getattr(leaf, "sharding", None)
+        if isinstance(sh, NamedSharding) and any(sh.spec):
+            return sh  # TP-sharded moment: keep
+        if leaf.size < min_size or leaf.shape[0] % data != 0:
+            return repl
+        return NamedSharding(mesh,
+                             P(*(("data",) + (None,) * (leaf.ndim - 1))))
+
+    return jax.tree_util.tree_map(rule, opt_state)

@@ -81,7 +81,7 @@ def _value_and_grad_float(loss_fn):
 
 def make_train_step(wrapper: ModelTrainerWrapper, tx,
                     accum_steps: int = 1, precision: str = "no",
-                    use_flash: bool = True) -> Callable:
+                    use_flash: bool = True, opt_shardings=None) -> Callable:
     dtype = compute_dtype(precision)
 
     def loss_fn(params, images, labels, rng):
@@ -131,6 +131,11 @@ def make_train_step(wrapper: ModelTrainerWrapper, tx,
             (loss, metrics), grads = grad_fn(state.params, images, labels, rng)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if opt_shardings is not None:
+            # ZeRO-1: pin the new moments to their P('data') shards so the
+            # compiler keeps update math distributed across steps
+            opt_state = jax.lax.with_sharding_constraint(opt_state,
+                                                         opt_shardings)
         params = optax.apply_updates(state.params, updates)
         if wrapper.is_momentum:
             params = dict(params)
@@ -176,6 +181,18 @@ class Trainer:
         else:
             params = jax.device_put(params, rep)
         opt_state = self.tx.init(params)
+        opt_shardings = None
+        if (config.zero_sharded_optimizer
+                and self.mesh.shape.get("data", 1) > 1):
+            # ZeRO-1 (beyond the reference): Adam/SNR moments sharded over
+            # the data axis; XLA all-gathers the per-shard updates over ICI
+            from image2text_tpu.parallel.sharding_rules import (
+                zero_opt_state_shardings,
+            )
+
+            opt_shardings = zero_opt_state_shardings(opt_state, self.mesh)
+            opt_state = jax.tree_util.tree_map(jax.device_put, opt_state,
+                                               opt_shardings)
         self.state = TrainState(params, opt_state,
                                 jax.device_put(jnp.zeros((), jnp.int32), rep))
         use_flash = not config.disable_flash
@@ -184,7 +201,8 @@ class Trainer:
         self._train_step = jax.jit(
             make_train_step(wrapper, self.tx,
                             config.gradient_accumulation_steps,
-                            config.precision, use_flash),
+                            config.precision, use_flash,
+                            opt_shardings=opt_shardings),
             donate_argnums=(0,))
         self._val_step = jax.jit(
             make_val_step(wrapper, config.precision, use_flash))

@@ -341,3 +341,59 @@ def test_smoke_train_loss_decreases():
     loss, metrics = trainer.val_loop(iter(dl), epoch=0)
     assert np.isfinite(loss)
     assert "val_loss_lm" in metrics
+
+
+def test_zero_sharded_optimizer_matches_replicated():
+    """ZeRO-1 moment sharding is annotation-only: dp8 training with
+    zero_sharded_optimizer on and off must produce identical losses and
+    parameters, while the moments actually live sharded P('data')."""
+    from jax.sharding import NamedSharding
+
+    from image2text_tpu.configs.trainer import MeshConfig
+    from image2text_tpu.parallel.mesh import make_mesh, shard_batch
+    from image2text_tpu.training.loop import Trainer
+    from image2text_tpu.utils.tree import flatten
+
+    cfg_model = tiny_config(use_cross_attn=True)
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.standard_normal((8, 3, 64, 64)), jnp.float32)
+    lb = jnp.asarray(np.where(rng.random((8, 24)) < 0.7,
+                              rng.integers(2, 1000, (8, 24)), -100))
+
+    results = {}
+    for zero in (False, True):
+        config = TrainingConfig(
+            model=cfg_model, batch_size=8, epochs=1, num_steps=1,
+            num_val_steps=1, tokenizer_str="synthetic",
+            trainer=TrainerWrapperConfig(),
+            optimizers=[OptimizerConfig(lr=1e-3)], dataset="synthetic",
+            mesh=MeshConfig(data=8, model=1),
+            zero_sharded_optimizer=zero)
+        wrapper = ModelTrainerWrapper(cfg_model, TOK, config.trainer)
+        params = wrapper.init(KEY)
+        trainer = Trainer(config, wrapper, params,
+                          mesh=make_mesh(config.mesh))
+        if zero:
+            # at least one moment leaf must actually be data-sharded
+            leaves = jax.tree_util.tree_leaves(trainer.state.opt_state)
+            assert any(
+                isinstance(x.sharding, NamedSharding)
+                and "data" in (x.sharding.spec + (None,))[:1]
+                for x in leaves if hasattr(x, "sharding")), \
+                "no opt-state leaf got a P('data') sharding"
+        ims, lbs = shard_batch(trainer.mesh, im, lb)
+        for _ in range(3):
+            trainer.state, metrics = trainer._train_step(
+                trainer.state, ims, lbs, jax.random.PRNGKey(5))
+        results[zero] = (float(metrics["train_loss_lm"]),
+                         flatten(jax.device_get(trainer.state.params)))
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               rtol=1e-5)
+    # params: the sharded consumer lets XLA pick reduce-scatter instead of
+    # all-reduce for gradient reductions (different summation ORDER, same
+    # math); early Adam steps amplify that float noise on near-zero biases,
+    # so compare with an absolute floor rather than bitwise
+    for k, v in results[False][1].items():
+        np.testing.assert_allclose(np.asarray(results[True][1][k]),
+                                   np.asarray(v), rtol=1e-3, atol=5e-4,
+                                   err_msg=k)
