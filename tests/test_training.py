@@ -397,3 +397,55 @@ def test_zero_sharded_optimizer_matches_replicated():
         np.testing.assert_allclose(np.asarray(results[True][1][k]),
                                    np.asarray(v), rtol=1e-3, atol=5e-4,
                                    err_msg=k)
+
+
+def test_orbax_resume_under_mesh(tmp_path):
+    """Full-train-state save/restore under a dp4xtp2 mesh: restored state
+    keeps shardings (TP weights stay model-sharded) and continues training
+    to the same numbers as the uninterrupted run."""
+    from jax.sharding import NamedSharding
+
+    from image2text_tpu.configs.trainer import MeshConfig
+    from image2text_tpu.parallel.mesh import make_mesh, shard_batch
+    from image2text_tpu.training.loop import Trainer
+    from image2text_tpu.utils.tree import flatten
+
+    cfg_model = tiny_config(use_cross_attn=True)
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.standard_normal((8, 3, 64, 64)), jnp.float32)
+    lb = jnp.asarray(np.where(rng.random((8, 24)) < 0.7,
+                              rng.integers(2, 1000, (8, 24)), -100))
+
+    def make_trainer():
+        config = TrainingConfig(
+            model=cfg_model, batch_size=8, epochs=1, num_steps=1,
+            num_val_steps=1, tokenizer_str="synthetic",
+            trainer=TrainerWrapperConfig(),
+            optimizers=[OptimizerConfig(lr=1e-3)], dataset="synthetic",
+            mesh=MeshConfig(data=4, model=2))
+        wrapper = ModelTrainerWrapper(cfg_model, TOK, config.trainer)
+        params = wrapper.init(KEY)
+        return Trainer(config, wrapper, params,
+                       mesh=make_mesh(config.mesh))
+
+    t1 = make_trainer()
+    ims, lbs = shard_batch(t1.mesh, im, lb)
+    t1.state, _ = t1._train_step(t1.state, ims, lbs, jax.random.PRNGKey(5))
+    t1.save_state(str(tmp_path / "state"))
+    t1.state, m_ref = t1._train_step(t1.state, ims, lbs,
+                                     jax.random.PRNGKey(6))
+
+    t2 = make_trainer()
+    t2.restore_state(str(tmp_path / "state"))
+    assert int(t2.state.step) == 1
+    # a TP-sharded weight must come back sharded over 'model'
+    flat = flatten(t2.state.params["model"])
+    tp_key = next(k for k in flat
+                  if k.endswith("attn.q_proj.weight")
+                  or k.endswith("attn.c_attn.weight"))
+    sh = flat[tp_key].sharding
+    assert isinstance(sh, NamedSharding) and "model" in tuple(sh.spec), sh
+    t2.state, m_resumed = t2._train_step(t2.state, ims, lbs,
+                                         jax.random.PRNGKey(6))
+    np.testing.assert_allclose(float(m_resumed["train_loss_lm"]),
+                               float(m_ref["train_loss_lm"]), rtol=1e-5)
