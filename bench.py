@@ -59,11 +59,12 @@ BATCHES = (8, 16) if SMOKE else (128, 256, 512, 1024)
 
 # bf16 peak FLOP/s per chip, by jax device_kind substring (public specs)
 _PEAK_BF16 = [
-    ("v5 lite", 197e12),   # TPU v5e
+    ("v5 lite", 197e12),   # TPU v5e (device_kind "TPU v5 lite")
     ("v5e", 197e12),
     ("v5p", 459e12),
-    ("v4", 275e12),
+    ("v5", 459e12),        # v5p reports plain "TPU v5"; must follow "v5 lite"
     ("v6", 918e12),        # Trillium
+    ("v4", 275e12),
     ("v3", 123e12),
     ("v2", 46e12),
 ]

@@ -124,9 +124,10 @@ def bench_int4():
         wb = jnp.asarray(w, jnp.bfloat16)
 
         def chain(out, args):
-            xx = args[0] + (out[:, :args[0].shape[-1]] * 0
-                            if out.shape[-1] >= args[0].shape[-1]
-                            else 0 * args[0])
+            # scalar-reduce the output so the dependency survives ANY
+            # out/in shape combination — a dropped dependency would let
+            # windows close on dispatch (the round-1 artifact)
+            xx = args[0] + (out.sum() * 0).astype(args[0].dtype)
             return (xx, *args[1:])
 
         fused = jax.jit(lambda x, p, s: int4_matmul(x, p, s))

@@ -48,7 +48,8 @@ def no_repeat_ngram_bias(ids_buf: jax.Array, cur_len: jax.Array,
             # every seen token is banned
             seen = jnp.arange(l)[None, :] < cur_len
             banned_all.append(ids_buf)
-            pen_all.append(jnp.where(seen, NEG_INF, 0.0))
+            pen_all.append(jnp.broadcast_to(jnp.where(seen, NEG_INF, 0.0),
+                                            ids_buf.shape))
             continue
         # suffix: last n-1 tokens → positions [cur_len-n+1, cur_len-1]
         suf_pos = cur_len - (n - 1) + jnp.arange(n - 1)          # (n-1,)
@@ -90,9 +91,10 @@ def chunked_top_k(logits: jax.Array, k: int,
     Returns (values, indices), both (..., k), values descending.
     """
     v = logits.shape[-1]
-    if v <= chunk:
+    if v <= chunk or k > chunk:
+        # k > chunk would break the per-chunk winners invariant; such
+        # huge-k requests are rare enough for the plain full sort
         return jax.lax.top_k(logits, k)
-    assert k <= chunk, (k, chunk)
     lead = logits.shape[:-1]
     c = -(-v // chunk)
     pad = c * chunk - v
@@ -174,14 +176,10 @@ def sample_logits(logits: jax.Array, rng: jax.Array, temperature: float = 1.0,
                   nucleus_p: Optional[float] = None) -> jax.Array:
     """The generate() sampling pipeline on final-step logits (B, V)."""
     logits = logits.astype(jnp.float32) / temperature
-    if top_k is not None and nucleus_p is None:
-        # hot serving path: sample among the k winners directly — same
-        # distribution as categorical over the top-k-masked vocab, without
-        # materialising a (B, V) masked array per step
-        k = min(top_k, logits.shape[-1])
-        vals, idx = chunked_top_k(logits, k)
-        choice = jax.random.categorical(rng, vals, axis=-1)
-        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
+    # apply_top_k masks via the chunked kth-value threshold: no full-vocab
+    # sort (the round-1 serving bottleneck), and ties at the kth value stay
+    # IN the distribution — exactly the reference's `logits < v[:, [-1]]`
+    # semantics (vision_encoder_decoder.py:155-157)
     logits = apply_top_k(logits, top_k)
     if nucleus_p is not None:
         probs = jax.nn.softmax(logits, axis=-1)

@@ -70,10 +70,17 @@ class WrapperDataLoader:
                 images = np.concatenate([images] * 5, axis=0)
                 lab = np.concatenate(labels, axis=0)
                 perm = self.rng.permutation(images.shape[0])
-                images, lab = images[perm], lab[perm]
-                for i in range(0, images.shape[0], self.batch_size):
-                    yield (images[i:i + self.batch_size],
-                           lab[i:i + self.batch_size])
+                # TPU deviation from the reference's torch.split (which
+                # emits a short tail chunk): jitted steps need STATIC
+                # batch shapes and mesh-divisible batches, so a short
+                # tail wraps around the permuted pool up to batch_size
+                n = images.shape[0]
+                for i in range(0, n, self.batch_size):
+                    idx = perm[i:i + self.batch_size]
+                    if idx.shape[0] < self.batch_size:
+                        extra = np.resize(perm, self.batch_size - idx.shape[0])
+                        idx = np.concatenate([idx, extra])
+                    yield images[idx], lab[idx]
 
 
 class SyntheticFlickrDataset:
@@ -375,13 +382,18 @@ def get_local_dataloader(tokenizer, batch_size: int, shuffle: bool,
     import json
     import os
 
+    if not dataset_dir:
+        raise ValueError(
+            "dataset: local requires dataset_dir to point at a directory "
+            "containing images and a captions.json")
     with open(os.path.join(dataset_dir, "captions.json")) as f:
         mapping = json.load(f)
     entries = sorted((path, caps if isinstance(caps, list) else [caps])
                      for path, caps in mapping.items())
     if not entries:
         raise ValueError(f"no rows in {dataset_dir}/captions.json")
-    n_val = max(1, int(len(entries) * val_fraction)) if len(entries) > 1 else 0
+    n_val = (max(1, int(len(entries) * val_fraction))
+             if val_fraction > 0 and len(entries) > 1 else 0)
     n_train = len(entries) - n_val
     tokenizer.pad_token = tokenizer.eos_token
     transform = make_row_transform(tokenizer, is_vit, max_length)

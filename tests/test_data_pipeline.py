@@ -230,3 +230,46 @@ def test_vit_preprocess_matches_torch_bicubic():
     assert diff.mean() < 1e-2, diff.mean()
     assert np.percentile(diff, 99) < 5e-2, np.percentile(diff, 99)
     assert diff.max() < 5e-1, diff.max()
+
+
+def test_wrapper_dataloader_pads_short_tail():
+    """Regression: a short final rechunk chunk wraps around the pool to a
+    full static batch (jitted steps and mesh sharding need fixed shapes)."""
+    tok = SyntheticTokenizer(512)
+    rows = _fake_dataset(6)
+    from image2text_tpu.training.data import RowBatcher, make_row_transform
+
+    batcher = RowBatcher(rows, make_row_transform(tok, False, MAX_LEN),
+                         batch_size=6, shuffle=False, seed=0)
+    wrapped = WrapperDataLoader(batcher, batch_size=4, ignore_idx=-100,
+                                epochs=1, seed=0)
+    shapes = [im.shape[0] for im, _ in wrapped]
+    # 6 rows x 5 captions = 30 -> chunks of 4: seven full batches + tail 2
+    # padded up to 4
+    assert shapes and all(s == 4 for s in shapes), shapes
+
+
+def test_local_dataloader_val_fraction_zero_many_entries(tmp_path):
+    """Regression: val_fraction=0.0 must not steal a training row."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    mapping = {}
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+                        ).save(tmp_path / f"i{i}.png")
+        mapping[f"i{i}.png"] = [f"caption {i}"]
+    (tmp_path / "captions.json").write_text(json.dumps(mapping))
+    tok = SyntheticTokenizer(512)
+    train, val = get_local_dataloader(
+        tok, batch_size=2, shuffle=False, is_vit=False,
+        dataset_dir=str(tmp_path), max_length=MAX_LEN, val_fraction=0.0)
+    assert len(train.rows) == 6  # nothing stolen
+    assert len(val.rows) == 6    # val views the same rows
+
+
+def test_local_dataloader_requires_dataset_dir():
+    tok = SyntheticTokenizer(512)
+    with pytest.raises(ValueError, match="dataset_dir"):
+        get_local_dataloader(tok, batch_size=2, shuffle=False,
+                             is_vit=False, dataset_dir=None)

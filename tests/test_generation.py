@@ -344,3 +344,29 @@ def test_nucleus_large_vocab_fast_path_exact():
                                          top_cap=4096))
     assert ids_flat.shape == (2,)
     assert (ids_flat >= 0).all() and (ids_flat < 50258).all()
+
+
+def test_ngram_bias_mixed_sizes_batched():
+    """Regression: n=1 mixed with n>=2 at batch > 1 (the single-scatter
+    rewrite must broadcast the unigram penalty to the full batch)."""
+    from image2text_tpu.models.sampling import no_repeat_ngram_bias
+
+    ids = jnp.asarray([[3, 4, 3, 0], [5, 6, 7, 0]])
+    bias = np.asarray(no_repeat_ngram_bias(ids, jnp.asarray(3), 10, (1, 2)))
+    assert bias.shape == (2, 10)
+    # unigram rule: every seen token banned, per row
+    assert bias[0, 3] == -np.inf and bias[0, 4] == -np.inf
+    assert bias[1, 5] == -np.inf and bias[1, 6] == -np.inf and \
+        bias[1, 7] == -np.inf
+    assert bias[0, 5] == 0 and bias[1, 3] == 0
+
+
+def test_chunked_top_k_huge_k_falls_back():
+    """Regression: k > chunk must fall back to the full sort, not assert."""
+    from image2text_tpu.models.sampling import chunked_top_k
+
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal((2, 5000)),
+                         jnp.float32)
+    vals, idx = chunked_top_k(logits, 4096, chunk=2048)
+    ref_vals, _ = jax.lax.top_k(logits, 4096)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(ref_vals))
