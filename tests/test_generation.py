@@ -370,3 +370,30 @@ def test_chunked_top_k_huge_k_falls_back():
     vals, idx = chunked_top_k(logits, 4096, chunk=2048)
     ref_vals, _ = jax.lax.top_k(logits, 4096)
     np.testing.assert_array_equal(np.asarray(vals), np.asarray(ref_vals))
+
+
+def test_generate_under_tp_mesh_matches_single_device():
+    """KV-cached generation with params sharded over a dp4xtp2 mesh must
+    emit the same tokens as the unsharded run (TP is annotation-only; XLA
+    collectives must not change the sampled sequence)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from image2text_tpu.parallel.sharding_rules import place_params
+
+    model, params, img = _model_and_inputs(b=4, seed=3,
+                                           use_cross_attn=True)
+    prompt = jnp.ones((4, 1), jnp.int32)
+    ref = np.asarray(model.generate(params, img, prompt, max_new_tokens=6,
+                                    temperature=0.7, top_k=8,
+                                    rng=jax.random.PRNGKey(5)))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    sharded = place_params(params, mesh)
+    data_sh = NamedSharding(mesh, P("data"))
+    img_s = jax.device_put(img, data_sh)
+    prompt_s = jax.device_put(prompt, data_sh)
+    out = np.asarray(model.generate(sharded, img_s, prompt_s,
+                                    max_new_tokens=6, temperature=0.7,
+                                    top_k=8, rng=jax.random.PRNGKey(5)))
+    np.testing.assert_array_equal(out, ref)
