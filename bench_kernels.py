@@ -4,16 +4,21 @@ Produces ONE JSON object (pretty-printed to stdout and written to
 ``BENCH_KERNELS.json``) with two tables:
 
 * **attention**: Pallas flash (ops/flash_attention.py) vs XLA fused
-  attention (ops/attention._xla-style einsum path), forward and
-  forward+backward, seq ∈ {320, 1024, 2048, 4096}, causal MQA bf16 at the
-  flagship head layout (h=8, d=128) — the measured table the
-  ``flash_attention_compatible`` dispatch thresholds cite;
+  attention, forward and forward+backward, seq ∈ {320, 1024, 2048, 4096},
+  causal MQA bf16 at the flagship head layout (h=8, d=128) — the measured
+  table the ``flash_attention_compatible`` dispatch thresholds cite;
 * **int4_matmul**: Pallas fused dequant-matmul (ops/int4_matmul.py) vs the
   XLA dequantize+dot fallback vs a plain bf16 matmul, at HF-decoder
   projection shapes.
 
-Timing is fenced the same way as bench.py: each window chains a data
-dependency through every iteration and closes on a device→host copy.
+Timing methodology — the axon tunnel adds LARGE, VARIABLE per-dispatch RPC
+latency (observed 25–800 ms), so per-call wall clocks are meaningless.
+Each measurement instead runs the op inside an ON-DEVICE ``lax.fori_loop``
+(iteration i+1's input depends on iteration i's output through
+``x + eps*out``, so nothing is loop-invariant-hoisted) at two iteration
+counts; the SLOPE is pure device time per op, with dispatch/fence overhead
+cancelled.  A plain-matmul calibration using the same method validates the
+chip (healthy v5e: ~200 TFLOP/s).
 """
 from __future__ import annotations
 
@@ -30,22 +35,52 @@ import jax.numpy as jnp
 
 from image2text_tpu.ops.flash_attention import _xla_attention, flash_sdpa
 
+EPS = 1e-6  # feedback factor: real data dependency, negligible drift
 
-def timed_ms(fn, chain, *args, iters=20, windows=3):
-    """Median fenced window; ``chain(out, args) -> args`` threads a data
-    dependency through successive calls."""
-    out = fn(*args)
-    jax.block_until_ready(out)  # warm/compile
-    dts = []
-    for w in range(windows):
-        a = args
+
+def _run_loop(body, carry0, iters, reps):
+    f = jax.jit(lambda c, n=iters: jax.lax.fori_loop(0, n, body, c))
+    out = f(carry0)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*a)
-            a = chain(out, a)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])  # D2H fence
-        dts.append((time.perf_counter() - t0) / iters * 1000.0)
-    return sorted(dts)[len(dts) // 2]
+        out = f(carry0)
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        ts.append(time.perf_counter() - t0)
+    # min: fenced time = device compute + tunnel jitter (>= one RPC); the
+    # minimum approaches compute + the RPC floor, which the slope cancels
+    return min(ts)
+
+
+def device_loop_ms(body, carry0, target_s=2.0, reps=3) -> float:
+    """Pure device ms per iteration of ``body``: run the op inside an
+    on-device fori_loop at two iteration counts auto-scaled so the high
+    window's COMPUTE dominates the tunnel's RPC jitter (observed up to
+    ~1 s per dispatch), then take the slope."""
+    probe = _run_loop(body, carry0, 8, 2)
+    per = max(probe / 8, 1e-5)
+    hi = int(min(max(16, target_s / per), 4.0 * target_s / per))
+    lo = max(2, hi // 8)
+    t_lo = _run_loop(body, carry0, lo, reps)
+    t_hi = _run_loop(body, carry0, hi, reps)
+    return max((t_hi - t_lo) / (hi - lo) * 1e3, 0.0)
+
+
+def calibration_tflops() -> float:
+    """Sustained bf16 TFLOP/s on a plain 4096^3 matmul (slope method).
+
+    Validity gate: a healthy v5e sustains ~200 here; far lower means the
+    DEVICE (not just the tunnel) is degraded and the tables must not be
+    used for dispatch decisions."""
+    n = 4096
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+
+    def body(i, a):
+        return (a @ x) * 0.5 + x * 0.1
+
+    ms = device_loop_ms(body, x)
+    return 2 * n ** 3 / ms / 1e9 if ms > 0 else 0.0
 
 
 def bench_attention():
@@ -56,46 +91,47 @@ def bench_attention():
         q = jax.random.normal(k0, (B, H, s, D), jnp.bfloat16)
         k = jax.random.normal(k0, (B, 1, s, D), jnp.bfloat16)
         v = jax.random.normal(k0, (B, 1, s, D), jnp.bfloat16)
+        bias = _causal_bias(s, s)
 
-        def chain(out, args):
-            qq = args[0] + (out * 0).astype(args[0].dtype)
-            return (qq, *args[1:])
+        def fwd_body(attn_fn):
+            def body(i, qq):
+                out = attn_fn(qq, k, v)
+                return qq + EPS * out.astype(qq.dtype)
+            return body
 
-        flash_f = jax.jit(lambda q, k, v: flash_sdpa(q, k, v, None, True))
-        xla_f = jax.jit(lambda q, k, v: _xla_attention(
-            q, k, v, _causal_bias(q.shape[-2], k.shape[-2])))
+        def bwd_body(attn_fn):
+            def loss(qq, kk, vv):
+                return jnp.sum(attn_fn(qq, kk, vv).astype(jnp.float32))
+            g = jax.grad(loss, argnums=0)
 
-        def mk_grad(f):
-            def loss(q, k, v):
-                return jnp.sum(f(q, k, v).astype(jnp.float32))
-            g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+            def body(i, qq):
+                return qq + EPS * g(qq, k, v).astype(qq.dtype)
+            return body
 
-            def chain_g(out, args):
-                qq = args[0] + (out[0] * 0).astype(args[0].dtype)
-                return (qq, *args[1:])
+        flash_fn = lambda qq, kk, vv: flash_sdpa(qq, kk, vv, None, True)
+        xla_fn = lambda qq, kk, vv: _xla_attention(qq, kk, vv, bias)
 
-            return g, chain_g
+        fwd_flash = device_loop_ms(fwd_body(flash_fn), q)
+        fwd_xla = device_loop_ms(fwd_body(xla_fn), q)
+        bwd_flash = device_loop_ms(bwd_body(flash_fn), q)
+        bwd_xla = device_loop_ms(bwd_body(xla_fn), q)
+        def ratio(a, b):
+            return round(a / b, 2) if a > 0 and b > 0 else None
 
-        fwd_flash = timed_ms(flash_f, chain, q, k, v)
-        fwd_xla = timed_ms(xla_f, chain, q, k, v)
-        gf, cg = mk_grad(lambda q, k, v: flash_sdpa(q, k, v, None, True))
-        gx, _ = mk_grad(lambda q, k, v: _xla_attention(
-            q, k, v, _causal_bias(q.shape[-2], k.shape[-2])))
-        bwd_flash = timed_ms(gf, cg, q, k, v, iters=10)
-        bwd_xla = timed_ms(gx, cg, q, k, v, iters=10)
         rows.append({
             "seq": s, "batch": B, "heads": H, "head_dim": D,
             "fwd_xla_ms": round(fwd_xla, 3),
             "fwd_flash_ms": round(fwd_flash, 3),
-            "fwd_speedup": round(fwd_xla / fwd_flash, 2),
+            "fwd_speedup": ratio(fwd_xla, fwd_flash),
             "fwdbwd_xla_ms": round(bwd_xla, 3),
             "fwdbwd_flash_ms": round(bwd_flash, 3),
-            "fwdbwd_speedup": round(bwd_xla / bwd_flash, 2),
+            "fwdbwd_speedup": ratio(bwd_xla, bwd_flash),
+            "valid": all(t > 0 for t in
+                         (fwd_xla, fwd_flash, bwd_xla, bwd_flash)),
         })
         print(f"attention s={s}: fwd xla {fwd_xla:.3f} ms / flash "
-              f"{fwd_flash:.3f} ms ({fwd_xla / fwd_flash:.2f}x); fwd+bwd "
-              f"xla {bwd_xla:.3f} / flash {bwd_flash:.3f} "
-              f"({bwd_xla / bwd_flash:.2f}x)", flush=True)
+              f"{fwd_flash:.3f} ms; fwd+bwd xla {bwd_xla:.3f} / flash "
+              f"{bwd_flash:.3f}", flush=True)
     return rows
 
 
@@ -123,28 +159,30 @@ def bench_int4():
         x = jax.random.normal(jax.random.PRNGKey(1), (n, fin), jnp.bfloat16)
         wb = jnp.asarray(w, jnp.bfloat16)
 
-        def chain(out, args):
-            # scalar-reduce the output so the dependency survives ANY
-            # out/in shape combination — a dropped dependency would let
-            # windows close on dispatch (the round-1 artifact)
-            xx = args[0] + (out.sum() * 0).astype(args[0].dtype)
-            return (xx, *args[1:])
+        def body_of(mm):
+            def body(i, xx):
+                out = mm(xx)
+                # scalar feedback: survives any out/in shape combination
+                return xx + (EPS * out.sum()).astype(xx.dtype)
+            return body
 
-        fused = jax.jit(lambda x, p, s: int4_matmul(x, p, s))
-        xla_deq = jax.jit(
-            lambda x, p, s: x @ dequantize_int4(p, s).astype(x.dtype).T)
-        plain = jax.jit(lambda x, w: x @ w.T)
+        t_fused = device_loop_ms(
+            body_of(lambda xx: int4_matmul(xx, packed, scales)), x)
+        t_deq = device_loop_ms(
+            body_of(lambda xx: xx @ dequantize_int4(packed, scales)
+                    .astype(xx.dtype).T), x)
+        t_bf16 = device_loop_ms(body_of(lambda xx: xx @ wb.T), x)
+        def ratio(a, b):
+            return round(a / b, 2) if a > 0 and b > 0 else None
 
-        t_fused = timed_ms(fused, chain, x, packed, scales)
-        t_deq = timed_ms(xla_deq, chain, x, packed, scales)
-        t_bf16 = timed_ms(plain, chain, x, wb)
         rows.append({
             "tokens": n, "in": fin, "out": fout,
             "pallas_fused_ms": round(t_fused, 4),
             "xla_dequant_dot_ms": round(t_deq, 4),
             "bf16_dot_ms": round(t_bf16, 4),
-            "fused_vs_xla_dequant": round(t_deq / t_fused, 2),
-            "fused_vs_bf16": round(t_bf16 / t_fused, 2),
+            "fused_vs_xla_dequant": ratio(t_deq, t_fused),
+            "fused_vs_bf16": ratio(t_bf16, t_fused),
+            "valid": all(t > 0 for t in (t_fused, t_deq, t_bf16)),
         })
         print(f"int4 ({n}x{fin}->{fout}): fused {t_fused:.4f} ms, "
               f"xla dequant+dot {t_deq:.4f} ms, bf16 {t_bf16:.4f} ms",
@@ -152,38 +190,25 @@ def bench_int4():
     return rows
 
 
-def calibration_tflops() -> float:
-    """Sustained bf16 TFLOP/s on a plain 4096^3 matmul in this harness.
-
-    Validity gate for every number in this file: a healthy v5e sustains
-    >100 TFLOP/s here; a reading far below means the chip/tunnel is
-    degraded and the table must not be used for dispatch decisions."""
-    n = 4096
-    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
-    f = jax.jit(lambda a: a @ a)
-
-    def chain(out, args):
-        return (args[0] + (out[:1, :1] * 0).astype(args[0].dtype),)
-
-    ms = timed_ms(f, chain, a, iters=20)
-    return 2 * n ** 3 / ms / 1e9
-
-
 def main():
     dev = jax.devices()[0]
-    calib = calibration_tflops()
+    # best-of-3: tunnel jitter only ever INFLATES wall time, so the
+    # highest calibration reading is the closest to true device capability
+    calib = max(calibration_tflops() for _ in range(3))
     print(f"calibration: {calib:.1f} TFLOP/s sustained on 4096^3 bf16 "
-          f"matmul", flush=True)
+          f"matmul (slope method)", flush=True)
     result = {
         "device_kind": getattr(dev, "device_kind", "?"),
         "platform": str(dev.platform),
         "dtype": "bfloat16",
-        "timing": "median-of-3 fenced windows "
-                  "(D2H-materialized, data-dependency chained)",
+        "timing": "on-device fori_loop, two-point iteration slope "
+                  "(dispatch/tunnel overhead cancelled)",
         "calibration_matmul_tflops": round(calib, 1),
-        "calibration_note": "healthy v5e sustains >100 here; far lower "
-                            "means the chip/tunnel was degraded during "
-                            "this run and the table is NOT decision-grade",
+        "calibration_note": "healthy v5e sustains ~200 here; far lower "
+                            "means tunnel jitter leaked into the slopes "
+                            "during this run and the table is NOT "
+                            "decision-grade",
+        "decision_grade": calib > 100,
         "attention": bench_attention(),
         "int4_matmul": bench_int4(),
     }
