@@ -162,6 +162,17 @@ class TransformerDecoder(Decoder):
                                                        spec.dtype)
                 else:
                     flat[p] = jnp.zeros(spec.shape, spec.dtype)
+            elif spec.owner == "MoELinear":
+                # the stacked expert params correspond to _MoEUnit
+                # nn.Linears in the reference, which self.apply covers too:
+                # N(0, 0.02) weights, zero biases.  (Their names end in
+                # l{1,2}_weight, never 'c_proj.weight', so the residual
+                # scaling does not apply — matching the reference.)
+                if spec.name.endswith("weight"):
+                    flat[p] = 0.02 * jax.random.normal(subkey, spec.shape,
+                                                       spec.dtype)
+                else:
+                    flat[p] = jnp.zeros(spec.shape, spec.dtype)
         params = unflatten(flat)
         if self.pretrained_model is not None:
             from image2text_tpu.models.hf_import import load_pretrained_gpt2_params
@@ -186,7 +197,8 @@ class TransformerDecoder(Decoder):
     # -- forward -------------------------------------------------------------
     def forward(self, p, idx=None, inputs_embeds=None, cross_attn_embeds=None,
                 attn_msk=None, ctx: Ctx = Ctx(), use_flash: bool = True,
-                kv_cache=None, pos_offset=None, cross_kv=None, **kwargs):
+                kv_cache=None, pos_offset=None, cross_kv=None,
+                sparse_rule_len=None, **kwargs):
         assert not (idx is None and inputs_embeds is None)
         assert idx is None or inputs_embeds is None
         if inputs_embeds is None:
@@ -236,7 +248,8 @@ class TransformerDecoder(Decoder):
                 x = blk(bp, x,
                         cross_attn_inputs=None if ckv is not None else cross_inputs,
                         attn_mask=attn_msk, ctx=bctx, use_flash=use_flash,
-                        kv_cache=kv_cache, cross_kv=ckv)
+                        kv_cache=kv_cache, cross_kv=ckv,
+                        sparse_rule_len=sparse_rule_len)
         x = self.ln_f(p["transformer"]["ln_f"], x)
         logits = jax.lax.dot_general(
             x, p["transformer"]["wte"]["weight"].astype(x.dtype),

@@ -29,11 +29,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from image2text_tpu.nn.core import Ctx
+from image2text_tpu.nn.core import Ctx, EVAL_CTX
 from image2text_tpu.models.kv_cache import CacheRef, KVCache
 from image2text_tpu.models.sampling import no_repeat_ngram_bias, sample_logits
 
-EVAL = Ctx(rng=None, train=False)
+EVAL = EVAL_CTX  # single shared eval context (nn.core)
 
 
 def decoder_step(model, p, tok_ids: jax.Array, cache: KVCache,
@@ -173,9 +173,12 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
     def body(i, carry):
         ids_buf, rng = carry
         cur = t0 + i
+        # sparse_rule_len: the reference re-forwards the GROWING sequence,
+        # so its global <2-selected bypass rule sees the current length —
+        # the fixed-size buffer must gate on it explicitly
         out = model(p, images=None, ids=ids_buf,
                     encoder_output=encoder_output, ctx=EVAL,
-                    use_flash=use_flash)
+                    use_flash=use_flash, sparse_rule_len=off + cur)
         last = jnp.take_along_axis(
             out.logits, jnp.full((bs, 1, 1), cur - 1), axis=1)[:, 0]
         rng, key = jax.random.split(rng)

@@ -34,7 +34,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from image2text_tpu.nn.core import Ctx
+from image2text_tpu.nn.core import Ctx, EVAL_CTX
 from image2text_tpu.models.generation import decoder_step, precompute_cross_kv
 from image2text_tpu.models.sampling import (
     apply_top_k,
@@ -42,7 +42,7 @@ from image2text_tpu.models.sampling import (
     no_repeat_ngram_bias,
 )
 
-EVAL = Ctx(rng=None, train=False)
+EVAL = EVAL_CTX  # single shared eval context (nn.core)
 
 
 class BeamSearchTokenGenerator:
@@ -214,16 +214,31 @@ class BeamSearchTokenGenerator:
 
         carry = (ids_buf, cum, jnp.asarray(t0, jnp.int32), last_logits, rng,
                  cache)
-        ids_buf, cum, _, _, _, _ = jax.lax.while_loop(not_done, body, carry)
+        ids_buf, cum, cur_len, _, _, _ = jax.lax.while_loop(not_done, body,
+                                                            carry)
+        if self.eos_token_id is not None:
+            # early exit (every beam finished) leaves the tail of the
+            # fixed-size buffer unfilled; fill it with EOS — the sticky
+            # rule's "finished beams keep emitting EOS" made concrete (the
+            # reference returns a TRUNCATED tensor here instead,
+            # generation_utils.py:46-55)
+            pad = jnp.arange(total)[None, None, :] >= cur_len
+            ids_buf = jnp.where(pad, self.eos_token_id, ids_buf)
         return ids_buf.transpose(1, 0, 2), cum.T  # (bs, bw, T), (bs, bw)
 
     def _full_logits(self, p, ids_buf, cur_len, encoder_output, use_flash):
-        """Fallback: re-forward the whole buffer, read logits at cur_len-1."""
+        """Fallback: re-forward the whole buffer, read logits at cur_len-1.
+
+        ``sparse_rule_len`` gates the sparse layers' global bypass rule at
+        the current generated length, matching the reference's
+        growing-sequence re-forward (see models/layers.py)."""
         bw, bs, total = ids_buf.shape
         enc = jnp.broadcast_to(
             encoder_output[None], (bw,) + encoder_output.shape).reshape(
                 bw * bs, *encoder_output.shape[1:])
         out = self.model(p, images=None, ids=ids_buf.reshape(bw * bs, total),
-                         encoder_output=enc, ctx=EVAL, use_flash=use_flash)
+                         encoder_output=enc, ctx=EVAL, use_flash=use_flash,
+                         sparse_rule_len=self.model.space_for_prompt
+                         + cur_len)
         return jnp.take_along_axis(
             out.logits, jnp.full((bw * bs, 1, 1), cur_len - 1), axis=1)[:, 0]

@@ -191,7 +191,12 @@ class LlamaHuggingfaceDecoder(_BackboneDecoder):
     def __init__(self, config: HuggingfaceDecoderConfig, arch: LlamaArch,
                  min_vocab: int):
         assert config.vocab_size >= min_vocab, "vocab should not shrink"
-        arch.vocab_size = config.vocab_size + config.extra_tokens
+        import dataclasses
+
+        # copy: LLAMA_TABLE/QWEN_TABLE entries are shared module state —
+        # mutating vocab_size in place would leak across decoder instances
+        arch = dataclasses.replace(
+            arch, vocab_size=config.vocab_size + config.extra_tokens)
         super().__init__(config, block_size=arch.max_positions,
                          n_embd=arch.n_embd, tied=arch.tie_embeddings,
                          embed_path="model.embed_tokens")

@@ -68,6 +68,9 @@ def import_gpt2_state_dict(params: Dict, sd_hf: Mapping[str, "np.ndarray"],
                 if p.startswith(("transformer.wte.", "transformer.wpe.",
                                  "transformer.ln_f.", "transformer.h."))
                 and ".crossattention." not in p and ".ln_cross_attn." not in p
+                # the scratch TransformerDecoder's cross-attention naming
+                # (reference layers.py:537-542: cross_attn + its ln_3)
+                and ".cross_attn." not in p and ".ln_3." not in p
                 and ".lora_A." not in p and ".lora_B." not in p}
         missing = sorted(base - consumed)
         if missing:

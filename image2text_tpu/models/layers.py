@@ -452,7 +452,7 @@ class TransformerBlock(Module):
 
     def forward(self, p, x_orig, cross_attn_inputs=None, attn_mask=None,
                 ctx: Ctx = Ctx(), use_flash: bool = True, kv_cache=None,
-                cross_kv=None, **kwargs):
+                cross_kv=None, sparse_rule_len=None, **kwargs):
         if self.is_sparse and kv_cache is not None:
             return self._sparse_cached_forward(
                 p, x_orig, cross_attn_inputs, attn_mask, ctx, use_flash,
@@ -493,6 +493,19 @@ class TransformerBlock(Module):
         bypass = jnp.take(x_orig, not_idx, axis=1)
         x_final = x_final.at[:, not_idx].set(
             bypass + self.null_connector(p["null_connector"], bypass))
+        if sparse_rule_len is not None:
+            # fixed-size re-forward buffers (generation fallback): the
+            # reference evaluates the global <2-selected bypass rule at the
+            # CURRENT sequence length (it re-forwards the growing sequence,
+            # layers.py:570-577), not at the padded buffer length — gate on
+            # the traced valid length so the fallback stays
+            # reference-exact through the count-crossing window
+            count = jnp.take(jnp.asarray(self._cum_sel_np),
+                             jnp.clip(jnp.asarray(sparse_rule_len) - 1, 0,
+                                      len(self._cum_sel_np) - 1))
+            null_all = x_orig + self.null_connector(p["null_connector"],
+                                                    x_orig)
+            return jnp.where(count >= 2, x_final, null_all)
         return x_final
 
     # -- sparse attention with a KV cache ------------------------------------

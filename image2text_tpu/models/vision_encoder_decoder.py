@@ -104,7 +104,8 @@ class VisionEncoderDecoder(Module):
     #   blocked (-inf), and the text block is fully open;
     # * without soft prompting the decoder receives no mask at all.
     def forward(self, p, images, ids, attn_msk=None, encoder_output=None,
-                ctx: Ctx = Ctx(), use_flash: bool = True):
+                ctx: Ctx = Ctx(), use_flash: bool = True,
+                sparse_rule_len=None):
         if encoder_output is None:
             encoder_output = self.encoder(p["encoder"], images, ctx=ctx.fold(1))
         s = ids.shape[-1]
@@ -134,10 +135,16 @@ class VisionEncoderDecoder(Module):
             attn_bias = None
 
         cross_attn_values = encoder_output if self.use_cross_attn else None
+        # sparse_rule_len: the VALID current length of the decoder-input
+        # sequence in block coordinates (soft-prompt prefix included) —
+        # generation fallbacks pass it so sparse blocks evaluate the
+        # reference's global bypass rule at the generated length rather
+        # than at the padded buffer length (see models/layers.py)
         logits, hidden_state = self.decoder(
             p["decoder"], idx=dec_ids, inputs_embeds=inputs_embeds,
             cross_attn_embeds=cross_attn_values, attn_msk=attn_bias,
-            ctx=ctx.fold(2), use_flash=use_flash)
+            ctx=ctx.fold(2), use_flash=use_flash,
+            sparse_rule_len=sparse_rule_len)
         return VisionEncoderDecoderModelOutput(
             encoder_output=encoder_output,
             logits=logits[..., offset:, :],

@@ -298,6 +298,7 @@ class RowBatcher:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        self._epoch = 0
 
     def __len__(self):
         # torch-DataLoader semantics (drop_last=False): final partial batch
@@ -306,7 +307,10 @@ class RowBatcher:
     def __iter__(self):
         order = np.arange(len(self.rows))
         if self.shuffle:
-            np.random.default_rng(self.seed).shuffle(order)
+            # fresh permutation per pass, like the reference's shuffling
+            # DataLoader re-iterated across epochs (but still seeded)
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+            self._epoch += 1
         buf = []
         for i in order:
             buf.append(self.transform(self.rows[int(i)]))

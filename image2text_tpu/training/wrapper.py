@@ -97,11 +97,22 @@ class ModelTrainerWrapper(Module):
 
     def momentum_update(self, params):
         """EMA teacher update (reference wrapper.py:53-60); returns the new
-        ``model_m`` subtree."""
+        ``model_m`` subtree.
+
+        Floating leaves only: the reference EMAs ``named_parameters()``, so
+        integer buffers (sparse index tables, LSH offsets) stay at their
+        copied values — EMA-ing them would also promote them to float and
+        change the state tree's dtype signature (recompile + restore
+        breakage)."""
         m = self.momentum
-        return jax.tree_util.tree_map(
-            lambda pm, ps: pm * m + ps.astype(pm.dtype) * (1.0 - m),
-            params["model_m"], params["model"])
+
+        def ema(pm, ps):
+            if not jnp.issubdtype(pm.dtype, jnp.floating):
+                return pm
+            return pm * m + ps.astype(pm.dtype) * (1.0 - m)
+
+        return jax.tree_util.tree_map(ema, params["model_m"],
+                                      params["model"])
 
     # -- loss weights (reference wrapper.py:80-96) --------------------------
     def get_weights(self, labels: jax.Array) -> jax.Array:

@@ -89,3 +89,61 @@ def test_gpt2_import_vocab_growth():
     # extra rows keep our initialisation
     np.testing.assert_allclose(
         wte[128:], np.asarray(params["transformer"]["wte"]["weight"])[128:])
+
+
+def test_gpt2_strict_import_with_cross_attention():
+    """Regression: strict import of a cross-attention scratch decoder must
+    succeed — our cross_attn/ln_3 params are OUR additions (the reference
+    leaves them at init, decoder.py:71-110), not missing base params."""
+    torch = pytest.importorskip("torch")
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    hf = GPT2LMHeadModel(GPT2Config(
+        vocab_size=128, n_positions=64, n_embd=32, n_layer=2, n_head=2))
+    cfg = TransformerDecoderConfig(
+        transformer_config=TransformerConfig(
+            rotator_config=MLPConfig(ff_mult=4.0),
+            is_causal=True, is_cross_attn=True,
+            attn_config=SelfAttentionConfig(
+                attn_dropout=0.0, bias=True, dropout=0.0,
+                n_head=2, n_embd=32,
+                attn_type=SelfAttentionType.MULTI_HEAD)),
+        n_layer=2, block_size=64, vocab_size=128)
+    dec = TransformerDecoder(cfg)
+    params = dec.init(KEY)
+    before = np.asarray(
+        params["transformer"]["h"]["0"]["cross_attn"]["in_proj_weight"])
+    loaded = import_gpt2_state_dict(params, hf.state_dict(), loose=False)
+    # base params imported, cross-attn params untouched
+    np.testing.assert_allclose(
+        np.asarray(loaded["transformer"]["wte"]["weight"]),
+        hf.state_dict()["transformer.wte.weight"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(loaded["transformer"]["h"]["0"]["cross_attn"]
+                   ["in_proj_weight"]), before)
+
+
+def test_moe_experts_follow_gpt2_init_policy():
+    """Regression: MoELinear stacked expert params get the reference's
+    nn.Linear init (N(0, 0.02) weights, zero biases) from the scratch
+    decoder's GPT-2 init policy."""
+    from image2text_tpu.configs.models import MoEConfig
+
+    cfg = TransformerDecoderConfig(
+        transformer_config=TransformerConfig(
+            rotator_config=MoEConfig(num_experts=4, proj_features=8,
+                                     gate_sizes=None, ff_mult_factor=2.0,
+                                     top_k=2),
+            is_causal=True, is_cross_attn=False,
+            attn_config=SelfAttentionConfig(
+                attn_dropout=0.0, bias=True, dropout=0.0,
+                n_head=2, n_embd=32,
+                attn_type=SelfAttentionType.MULTI_HEAD)),
+        n_layer=2, block_size=64, vocab_size=128)
+    dec = TransformerDecoder(cfg)
+    params = dec.init(KEY)
+    blk = params["transformer"]["h"]["0"]["mlp"]["c_fc"]
+    w = np.asarray(blk["l1_weight"])
+    assert abs(float(w.std()) - 0.02) < 0.005, w.std()
+    assert (np.asarray(blk["l1_bias"]) == 0).all()
+    assert (np.asarray(blk["l2_bias"]) == 0).all()
