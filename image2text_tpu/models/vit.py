@@ -100,7 +100,8 @@ class VisionTransformerB16(Module):
         self.hidden_dim = hidden_dim
         self.n_patches = (image_size // patch_size) ** 2
         self.conv_proj = self.add("conv_proj", Conv2d(
-            3, hidden_dim, (patch_size, patch_size), padding="VALID"))
+            3, hidden_dim, (patch_size, patch_size), padding="VALID",
+            stride=(patch_size, patch_size)))
         self.param("class_token", (1, 1, hidden_dim), zeros_init())
         self.encoder = self.add("encoder", _ViTEncoder(
             self.n_patches + 1, num_layers, hidden_dim, num_heads, mlp_dim))
@@ -108,11 +109,7 @@ class VisionTransformerB16(Module):
     def forward(self, p, images, ctx: Ctx = Ctx(), **kwargs):
         b = images.shape[0]
         # conv with stride == kernel == patch size
-        w = p["conv_proj"]["weight"].astype(images.dtype)
-        x = jax.lax.conv_general_dilated(
-            images, w, window_strides=(self.patch_size, self.patch_size),
-            padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        x = x + p["conv_proj"]["bias"].astype(images.dtype)[None, :, None, None]
+        x = self.conv_proj(p["conv_proj"], images)
         x = x.reshape(b, self.hidden_dim, -1).transpose(0, 2, 1)  # (b, hw, d)
         cls = jnp.broadcast_to(p["class_token"].astype(x.dtype),
                                (b, 1, self.hidden_dim))

@@ -121,10 +121,12 @@ class Conv2d(Module):
 
     def __init__(self, in_channels: int, out_channels: int,
                  kernel_size: Tuple[int, int], bias: bool = True,
-                 padding: str = "SAME"):
+                 padding: str = "SAME",
+                 stride: Tuple[int, int] = (1, 1)):
         super().__init__()
         self.padding = padding
         self.use_bias = bias
+        self.stride = stride
         kh, kw = kernel_size
         fan_in = in_channels * kh * kw
         self.param("weight", (out_channels, in_channels, kh, kw),
@@ -139,7 +141,7 @@ class Conv2d(Module):
         # MXU regardless of a bf16 output dtype
         y = jax.lax.conv_general_dilated(
             x, w,
-            window_strides=(1, 1),
+            window_strides=self.stride,
             padding=self.padding,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )

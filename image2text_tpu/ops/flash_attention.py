@@ -74,6 +74,8 @@ class _Prep(NamedTuple):
     nb: int
     bias_rows: int
     scale: float
+    bb: int                  # bias batch planes (1 or b)
+    bhh: int                 # bias head planes (1 or h)
 
     @property
     def diag(self) -> int:
@@ -86,12 +88,23 @@ class _Prep(NamedTuple):
         h, hk = self.h, self.hk
         return lambda ibh, i, j: (ibh if hk == h else ibh // h, j, 0)
 
+    def bias_plane(self, ibh):
+        """Plane index into the (bb*bhh) flattened bias for program ibh.
+
+        Decomposed from the ORIGINAL (bb, bh) bias shape — collapsing to a
+        single plane count cannot distinguish a per-head (1, h, ...) bias
+        from a per-batch (b, 1, ...) one when b == h (and mis-routed
+        (1, h) biases entirely before round 2)."""
+        bi = ibh // self.h
+        hi = ibh % self.h
+        return ((bi if self.bb > 1 else 0) * self.bhh
+                + (hi if self.bhh > 1 else 0))
+
     def bias_idx(self):
-        nb, b, h, rows = self.nb, self.b, self.h, self.bias_rows
+        rows = self.bias_rows
 
         def f(ibh, i, j):
-            n = 0 if nb == 1 else (ibh // h if nb == b else ibh)
-            return (n, i if rows > 1 else 0, j)
+            return (self.bias_plane(ibh), i if rows > 1 else 0, j)
 
         return f
 
@@ -118,14 +131,20 @@ def _prepare(q, k, v, bias, block_q: int, block_k: int) -> _Prep:
     bias = jnp.maximum(bias.astype(jnp.float32), NEG_BIG)
     bb, bh_, bsq, bskv = bias.shape
     assert bskv == skv, "bias key axis must match kv length"
+    assert bb in (1, b) and bh_ in (1, h), (
+        f"bias batch/head dims must be 1 or match q: {bias.shape} vs "
+        f"q ({b}, {h}, ...)")
+    assert bsq in (1, sq), (
+        f"bias query dim must be 1 or the query length: {bias.shape} vs "
+        f"sq={sq} (a partial-row bias would silently unmask the rest)")
     bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (0, skv_p - skv)),
                    constant_values=NEG_BIG)
-    if bsq not in (1, sq_p):
+    if bsq == sq and sq != sq_p:
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sq_p - bsq), (0, 0)))
     nb = bb * bh_
     bias = bias.reshape(nb, bias.shape[2], skv_p)
     return _Prep(qp, kp, vp, bias, b, h, hk, sq, skv, d, sq_p, skv_p, d_p,
-                 bq, bk, nb, bias.shape[1], 1.0 / (d ** 0.5))
+                 bq, bk, nb, bias.shape[1], 1.0 / (d ** 0.5), bb, bh_)
 
 
 def _interpret() -> bool:
@@ -379,8 +398,7 @@ def _flash_backward(q, k, v, bias, causal, out, lse, g,
     kv_map_kv = lambda ibh, j, i: (ibh if hk == h else ibh // h, j, 0)
 
     def bias_map_kv(ibh, j, i):
-        n = 0 if pr.nb == 1 else (ibh // h if pr.nb == b else ibh)
-        return (n, i if pr.bias_rows > 1 else 0, j)
+        return (pr.bias_plane(ibh), i if pr.bias_rows > 1 else 0, j)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=pr.scale, q_blocks=nq,
@@ -419,8 +437,7 @@ def _flash_backward(q, k, v, bias, causal, out, lse, g,
     kv_map_q = lambda ibh, i, j: (ibh if hk == h else ibh // h, j, 0)
 
     def bias_map_q(ibh, i, j):
-        n = 0 if pr.nb == 1 else (ibh // h if pr.nb == b else ibh)
-        return (n, i if pr.bias_rows > 1 else 0, j)
+        return (pr.bias_plane(ibh), i if pr.bias_rows > 1 else 0, j)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=pr.scale, kv_blocks=nkv,
@@ -454,28 +471,24 @@ def _flash_backward(q, k, v, bias, causal, out, lse, g,
 
 
 def _xla_attention(q, k, v, bias):
-    """Reference math (mirrors ops/attention.sdpa's no-dropout path)."""
-    d = q.shape[-1]
-    scale = 1.0 / (d ** 0.5)
-    scores = jnp.matmul(q.astype(jnp.float32) * scale,
-                        k.astype(jnp.float32).swapaxes(-1, -2),
-                        preferred_element_type=jnp.float32)
-    if bias is not None:
-        scores = scores + bias.astype(jnp.float32)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - jnp.where(jnp.isneginf(m), 0.0, m))
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    # 1e-9 floor: tiny**2 underflows in the division VJP (0/0=NaN) for
-    # fully-masked rows; rows with >=1 unmasked key have denom >= 1
-    probs = e / jnp.maximum(denom, 1e-9)
-    return jnp.matmul(probs, v.astype(jnp.float32),
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+    """The XLA reference path — literally ops/attention.sdpa with flash
+    disabled (one implementation; bench_kernels and the parity tests
+    compare against exactly what ``disable_flash`` runs)."""
+    from image2text_tpu.ops.attention import sdpa
+
+    return sdpa(q, k, v, mask=bias, use_flash=False)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_sdpa(q, k, v, bias, causal):
-    """Flash forward + flash backward (bias grads are zero — masks are
-    constants in this framework)."""
+    """Flash forward + flash backward.
+
+    LIMITATION: the backward returns ZERO bias gradients (the recompute
+    kernels never materialise dS summed to the bias shape).  Every bias in
+    this framework is a positions-derived constant, and the dispatch gate
+    stop_gradients the mask so the limitation cannot silently detrain a
+    learned bias — a differentiable bias must use the XLA path
+    (``use_flash=False``)."""
     return flash_attention(q, k, v, bias, causal=causal)
 
 
@@ -503,8 +516,18 @@ def flash_attention_compatible(q: jax.Array, k: jax.Array, v: jax.Array,
     suit the kernel, None → XLA fallback (disable_flash parity)."""
     if q.shape[-1] > 256:
         return None
-    if mask is not None and (mask.ndim != 4 or mask.shape[-1] != k.shape[-2]):
-        return None
+    if mask is not None:
+        if mask.ndim != 4 or mask.shape[-1] != k.shape[-2]:
+            return None
+        if mask.shape[-2] not in (1, q.shape[-2]):
+            return None  # partial-row bias: only the XLA path broadcasts it
+        if mask.shape[0] not in (1, q.shape[0]) or \
+                mask.shape[1] not in (1, q.shape[1]):
+            return None
+        # flash never produces bias grads; masks here are constants by
+        # construction — make that explicit so a learned bias routed here
+        # would at least behave identically to an explicit stop_gradient
+        mask = jax.lax.stop_gradient(mask)
     # tiny problems (e.g. single-token decode steps): tiling overhead
     # dominates; let XLA fuse instead
     if q.shape[-2] * k.shape[-2] < 16 * 128:

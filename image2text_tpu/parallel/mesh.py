@@ -25,11 +25,22 @@ from image2text_tpu.configs.trainer import MeshConfig
 
 def maybe_initialize_distributed() -> None:
     """jax.distributed.initialize when launched multi-process (no-op
-    otherwise); DCN coordination for multi-slice jobs."""
+    otherwise); DCN coordination for multi-slice jobs.
+
+    Gate on the ENV VAR only: probing ``jax.process_count()`` first would
+    itself initialise the local XLA backend, after which
+    ``jax.distributed.initialize`` always raises — the guard must not
+    touch any backend-initialising JAX API."""
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
+    if "JAX_COORDINATOR_ADDRESS" not in os.environ:
+        return
+    try:
         jax.distributed.initialize()
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # second call in the same process: fine
+        raise
 
 
 def make_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:

@@ -39,23 +39,31 @@ class TraceWindow:
 
 
 class Throughput:
-    """Rolling steps/sec and items/sec meter."""
+    """Rolling steps/sec and items/sec meter over the last ``window``
+    updates — the first (compile-heavy) steps age out instead of
+    permanently dragging the reported steady-state rate down."""
 
-    def __init__(self):
-        self.t0 = time.perf_counter()
+    def __init__(self, window: int = 50):
+        from collections import deque
+
+        self._times = deque([time.perf_counter()], maxlen=window + 1)
+        self._items = deque(maxlen=window)
         self.steps = 0
         self.items = 0
 
     def update(self, items: int = 0) -> None:
         self.steps += 1
         self.items += items
+        self._times.append(time.perf_counter())
+        self._items.append(items)
 
     @property
     def steps_per_sec(self) -> float:
-        dt = time.perf_counter() - self.t0
-        return self.steps / dt if dt > 0 else 0.0
+        dt = self._times[-1] - self._times[0]
+        return (len(self._times) - 1) / dt if dt > 0 else 0.0
 
     @property
     def items_per_sec(self) -> float:
-        dt = time.perf_counter() - self.t0
-        return self.items / dt if dt > 0 else 0.0
+        dt = self._times[-1] - self._times[0]
+        return sum(self._items) / dt if dt > 0 else 0.0
+

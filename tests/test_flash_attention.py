@@ -178,3 +178,48 @@ def test_sdpa_dispatches_flash():
     out_xla = sdpa(q, k, v, mask=bias, use_flash=False)
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_xla),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_per_head_bias_batched():
+    """Regression: a per-head bias (1, h, sq, skv) with batch > 1 must
+    route each head to its own bias plane (it was mis-indexed before),
+    including through the backward kernels; also (b, 1) per-batch biases
+    with b == h stay distinguishable from per-head ones."""
+    from image2text_tpu.ops.attention import sdpa
+    from image2text_tpu.ops.flash_attention import flash_sdpa
+
+    rng = np.random.default_rng(0)
+    b, h, s, d = 2, 2, 64, 32  # b == h: the ambiguous case
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    for shape in ((1, h, s, s), (b, 1, s, s), (b, h, s, s)):
+        bias = jnp.asarray(rng.standard_normal(shape) * 2, jnp.float32)
+        ref = sdpa(q, k, v, mask=bias, use_flash=False)
+        out = flash_sdpa(q, k, v, bias, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5, err_msg=str(shape))
+
+        def loss_flash(q_):
+            return jnp.sum(flash_sdpa(q_, k, v, bias, False))
+
+        def loss_ref(q_):
+            return jnp.sum(sdpa(q_, k, v, mask=bias, use_flash=False))
+
+        gf = jax.grad(loss_flash)(q)
+        gr = jax.grad(loss_ref)(q)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-4, rtol=2e-4, err_msg=str(shape))
+
+
+def test_flash_rejects_partial_row_bias():
+    """A bias whose query dim is neither 1 nor sq must fail loudly, not
+    silently unmask the remaining rows."""
+    from image2text_tpu.ops.flash_attention import flash_sdpa
+
+    q = jnp.zeros((1, 1, 64, 32))
+    k = jnp.zeros((1, 1, 128, 32))
+    v = jnp.zeros((1, 1, 128, 32))
+    bad = jnp.zeros((1, 1, 32, 128))
+    with pytest.raises(AssertionError, match="query dim"):
+        flash_sdpa(q, k, v, bad, False)

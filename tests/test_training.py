@@ -449,3 +449,34 @@ def test_orbax_resume_under_mesh(tmp_path):
                                          jax.random.PRNGKey(6))
     np.testing.assert_allclose(float(m_resumed["train_loss_lm"]),
                                float(m_ref["train_loss_lm"]), rtol=1e-5)
+
+
+def test_maybe_initialize_distributed_gates_on_env(monkeypatch):
+    """Regression: the guard must not probe jax.process_count() (that
+    initialises the backend and makes jax.distributed.initialize raise);
+    it gates purely on the coordinator env var."""
+    from image2text_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    mesh_mod.maybe_initialize_distributed()
+    assert calls == []
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1234")
+    mesh_mod.maybe_initialize_distributed()
+    assert calls == [1]
+
+    # an already-initialized RuntimeError is tolerated, others propagate
+    def raise_already(*a, **k):
+        raise RuntimeError("backend already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_already)
+    mesh_mod.maybe_initialize_distributed()  # no raise
+
+    def raise_other(*a, **k):
+        raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_other)
+    with pytest.raises(RuntimeError, match="connection refused"):
+        mesh_mod.maybe_initialize_distributed()
