@@ -60,7 +60,12 @@ def device_loop_ms(body, carry0, target_s=2.0, reps=3) -> float:
     ~1 s per dispatch), then take the slope."""
     probe = _run_loop(body, carry0, 8, 2)
     per = max(probe / 8, 1e-5)
-    hi = int(min(max(16, target_s / per), 4.0 * target_s / per))
+    # quantize to a power of two: repeat runs then reuse the SAME compiled
+    # fori_loop from the persistent cache — compile traffic through the
+    # tunnel is itself a major source of measurement-window contamination
+    hi = 16
+    while hi < target_s / per and hi < 8192:
+        hi *= 2
     lo = max(2, hi // 8)
     t_lo = _run_loop(body, carry0, lo, reps)
     t_hi = _run_loop(body, carry0, hi, reps)
@@ -76,10 +81,14 @@ def calibration_tflops() -> float:
     n = 4096
     x = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
 
-    def body(i, a):
-        return (a @ x) * 0.5 + x * 0.1
+    # the operand rides the CARRY, not a closure: a closed-over device
+    # array gets baked into the program as a constant, which forces a
+    # 32 MB device->host read through the tunnel at trace time
+    def body(i, c):
+        a, x = c
+        return ((a @ x) * 0.5 + x * 0.1, x)
 
-    ms = device_loop_ms(body, x)
+    ms = device_loop_ms(body, (x, x))
     return 2 * n ** 3 / ms / 1e9 if ms > 0 else 0.0
 
 
@@ -190,11 +199,20 @@ def bench_int4():
     return rows
 
 
+def _try(fn, fallback):
+    try:
+        return fn()
+    except Exception as e:  # tunnel/backend failures must not lose the run
+        print(f"SECTION FAILED: {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+        return fallback
+
+
 def main():
     dev = jax.devices()[0]
     # best-of-3: tunnel jitter only ever INFLATES wall time, so the
     # highest calibration reading is the closest to true device capability
-    calib = max(calibration_tflops() for _ in range(3))
+    calib = max(_try(calibration_tflops, 0.0) for _ in range(3))
     print(f"calibration: {calib:.1f} TFLOP/s sustained on 4096^3 bf16 "
           f"matmul (slope method)", flush=True)
     result = {
@@ -209,8 +227,8 @@ def main():
                             "during this run and the table is NOT "
                             "decision-grade",
         "decision_grade": calib > 100,
-        "attention": bench_attention(),
-        "int4_matmul": bench_int4(),
+        "attention": _try(bench_attention, []),
+        "int4_matmul": _try(bench_int4, []),
     }
     with open("BENCH_KERNELS.json", "w") as f:
         json.dump(result, f, indent=1)
