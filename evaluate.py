@@ -22,7 +22,7 @@ from image2text_tpu.eval.metrics import cider_d, corpus_bleu
 from image2text_tpu.models.generation_utils import BeamSearchTokenGenerator
 from image2text_tpu.models.vision_encoder_decoder import VisionEncoderDecoder
 from image2text_tpu.training.tokenizer import get_tokenizer
-from trainer import build_dataloaders
+from trainer import build_inner_datasets
 
 
 def _strip(ids, eos):
@@ -45,8 +45,13 @@ def main(args):
     model = VisionEncoderDecoder(config.model)
     params = model.init(jax.random.PRNGKey(config.seed))
 
-    _, val_dl = build_dataloaders(config, tokenizer)
-    val_iter = iter(val_dl)
+    from image2text_tpu.training.data import normalize_label
+
+    # iterate the INNER dataset (pre-expansion batch dicts) so every image
+    # is scored once against ALL FIVE of its reference captions — the
+    # standard Flickr30K protocol (the 5x-expanded training loader would
+    # both duplicate images and supply a single lone reference each time)
+    _, val_ds = build_inner_datasets(config, tokenizer)
     eos = tokenizer.eos_token_id
     prompt = jnp.asarray([[tokenizer.bos_token_id]])
     window = model.decoder.block_size - model.space_for_prompt
@@ -56,33 +61,48 @@ def main(args):
         gen = BeamSearchTokenGenerator(
             model, beam_width=args.num_candidates, temperature=args.temperature,
             top_k=args.top_k, max_new_tokens=max_new, eos_token_id=eos,
+            no_repeat_n_grams=tuple(config.model.no_repeat_n_grams),
             consolidation_temperature=0.0)
 
     cands, refs = [], []
     rng = jax.random.PRNGKey(config.seed + 123)
     seen = 0
-    while seen < args.num_images:
-        images, labels = next(val_iter)
-        img = jnp.asarray(images[:1])
-        label = np.asarray(labels[0])
-        truth = _strip(label[label != config.ignore_index], eos)
-        rng, k = jax.random.split(rng)
-        if args.beam_search:
-            ids, scores = gen(params, img, prompt, rng=k)
-            best = np.asarray(ids[0, 0, 1:])
-        else:
-            x = jnp.broadcast_to(img, (args.num_candidates, *img.shape[1:]))
-            out = model.generate(params, x, prompt, max_new_tokens=max_new,
-                                 temperature=args.temperature,
-                                 top_k=args.top_k, rng=k)
-            best = np.asarray(out[0, 1:])
-        cand = _strip(best, eos)
-        cands.append(cand)
-        refs.append([truth])
-        if seen < 5:
-            print(f"[{seen}] truth: {tokenizer.decode(truth)}")
-            print(f"[{seen}] gen:   {tokenizer.decode(cand)}")
-        seen += 1
+    for batch in val_ds:
+        for row in range(batch["image"].shape[0]):
+            if seen >= args.num_images:
+                break
+            img = jnp.asarray(batch["image"][row:row + 1])
+            truths = []
+            for c in range(5):
+                lab = normalize_label(
+                    batch[f"input_ids_{c}"][row:row + 1],
+                    batch[f"attn_mask_{c}"][row:row + 1],
+                    config.ignore_index)[0]
+                truths.append(_strip(lab[lab != config.ignore_index], eos))
+            rng, k = jax.random.split(rng)
+            if args.beam_search:
+                ids, scores = gen(params, img, prompt, rng=k)
+                best = np.asarray(ids[0, 0, 1:])
+            else:
+                # num_candidates parallel samples (the reference notebook
+                # prints them all); METRICS use candidate 0 only — scoring
+                # best-of-N would inflate vs the standard protocol
+                x = jnp.broadcast_to(img,
+                                     (args.num_candidates, *img.shape[1:]))
+                out = model.generate(params, x, prompt,
+                                     max_new_tokens=max_new,
+                                     temperature=args.temperature,
+                                     top_k=args.top_k, rng=k)
+                best = np.asarray(out[0, 1:])
+            cand = _strip(best, eos)
+            cands.append(cand)
+            refs.append(truths)
+            if seen < 5:
+                print(f"[{seen}] truth: {tokenizer.decode(truths[0])}")
+                print(f"[{seen}] gen:   {tokenizer.decode(cand)}")
+            seen += 1
+        if seen >= args.num_images:
+            break
 
     bleu = corpus_bleu(cands, refs)
     cider = cider_d(cands, refs)

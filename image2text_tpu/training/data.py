@@ -321,6 +321,33 @@ class RowBatcher:
             yield {k: np.stack([r[k] for r in buf]) for k in buf[0]}
 
 
+class _StridedRows:
+    """Every ``count``-th row starting at ``offset`` — each host of a
+    multi-host run reads its own disjoint subset (the reference's
+    accelerate split_batches gives each rank distinct data; identical
+    per-host streams would train on duplicated examples)."""
+
+    def __init__(self, rows, offset: int, count: int):
+        self.rows = rows
+        self.offset = offset
+        self.count = count
+
+    def __len__(self):
+        return (len(self.rows) - self.offset + self.count - 1) // self.count
+
+    def __getitem__(self, i):
+        return self.rows[self.offset + int(i) * self.count]
+
+
+def _host_shard(rows):
+    """This process's row subset (identity on single-host runs)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return rows
+    return _StridedRows(rows, jax.process_index(), jax.process_count())
+
+
 def get_flickr30k_dataloader(tokenizer, batch_size: int, shuffle: bool,
                              is_vit: bool, max_length: int = 256,
                              train_rows: int = 27000):
@@ -342,8 +369,10 @@ def get_flickr30k_dataloader(tokenizer, batch_size: int, shuffle: bool,
     ds = load("hub://activeloop/flickr30k")
     tokenizer.pad_token = tokenizer.eos_token
     transform = make_row_transform(tokenizer, is_vit, max_length)
-    return (RowBatcher(ds[:train_rows], transform, batch_size, shuffle, 0),
-            RowBatcher(ds[train_rows:], transform, batch_size, shuffle, 1))
+    return (RowBatcher(_host_shard(ds[:train_rows]), transform, batch_size,
+                       shuffle, 0),
+            RowBatcher(_host_shard(ds[train_rows:]), transform, batch_size,
+                       shuffle, 1))
 
 
 class _LocalRows:
@@ -403,5 +432,5 @@ def get_local_dataloader(tokenizer, batch_size: int, shuffle: bool,
     transform = make_row_transform(tokenizer, is_vit, max_length)
     train = _LocalRows(entries[:n_train], dataset_dir)
     val = _LocalRows(entries[n_train:] if n_val else entries[:], dataset_dir)
-    return (RowBatcher(train, transform, batch_size, shuffle, 0),
-            RowBatcher(val, transform, batch_size, shuffle, 1))
+    return (RowBatcher(_host_shard(train), transform, batch_size, shuffle, 0),
+            RowBatcher(_host_shard(val), transform, batch_size, shuffle, 1))

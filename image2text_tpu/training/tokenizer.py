@@ -43,13 +43,18 @@ class SyntheticTokenizer:
         return enc
 
     def _encode_tok(self, tok: str) -> int:
+        import zlib
+
         specials = {self.eos_token: 0, self.bos_token: 1, self.mask_token: 2}
         if tok in specials:
             return specials[tok]
         try:
             return int(tok) % self.vocab_size
         except ValueError:
-            return (hash(tok) % (self.vocab_size - 3)) + 3
+            # crc32, NOT hash(): the builtin is salted per process
+            # (PYTHONHASHSEED), which would tokenize the same word
+            # differently across runs and across hosts
+            return (zlib.crc32(tok.encode()) % (self.vocab_size - 3)) + 3
 
     def decode(self, ids) -> str:
         names = {0: self.eos_token, 1: self.bos_token, 2: self.mask_token}
@@ -67,7 +72,17 @@ def get_tokenizer(tokenizer_str: str, mask_fraction: float = 0.0,
         return SyntheticTokenizer(synthetic_vocab or 1024)
     from transformers import AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(tokenizer_str)
+    try:
+        tokenizer = AutoTokenizer.from_pretrained(tokenizer_str)
+    except OSError as e:
+        # air-gapped machine without an HF cache: fall back loudly so
+        # offline smoke runs still work (documented behaviour)
+        import sys
+
+        print(f"WARNING: tokenizer {tokenizer_str!r} unavailable "
+              f"({type(e).__name__}); falling back to SyntheticTokenizer",
+              file=sys.stderr)
+        return SyntheticTokenizer(synthetic_vocab or 1024)
     kwargs = {}
     if tokenizer.eos_token_id is None:
         kwargs["eos_token"] = "<EOS>"

@@ -103,13 +103,16 @@ def main(batch: int):
 
     tok = jnp.full((batch, 1), 7, jnp.int32)
 
-    def one_step(p, tok, cache):
+    # enc_out / cross_kv ride as ARGUMENTS: closure-captured device arrays
+    # get baked into the program as constants, and at batch>=256 the baked
+    # HLO exceeds the tunnel's /remote_compile HTTP body limit (HTTP 413)
+    def one_step(p, tok, cache, enc_out, cross_kv):
         logits, cache2 = decoder_step(model, p, tok, cache, off + 5,
                                       enc_out, cross_kv=cross_kv)
         return logits[:, -1]
 
     step_j = jax.jit(one_step)
-    t_step = fenced_ms(step_j, params, tok, cache)
+    t_step = fenced_ms(step_j, params, tok, cache, enc_out, cross_kv)
 
     ids_buf = jnp.zeros((batch, total), jnp.int32)
     last = jnp.zeros((batch, cfg.model.decoder_config.vocab_size),

@@ -61,8 +61,16 @@ def eval_model(trainer: Trainer, tokenizer, val_iter, epoch: int,
         print(gen[:i] if i >= 0 else gen)
 
 
-def build_dataloaders(config: TrainingConfig, tokenizer):
-    """train/val WrapperDataLoaders from the configured dataset."""
+def build_inner_datasets(config: TrainingConfig, tokenizer):
+    """(train, val) inner datasets yielding raw 5-caption batch dicts.
+
+    Multi-host: each process builds its OWN local data stream —
+    flickr30k/local rows are host-strided inside the loaders, the
+    synthetic stream and shuffles are seeded per process — because
+    ``shard_batch`` assembles the global batch from per-process local
+    slices (split_batches parity demands distinct data per rank)."""
+    host = jax.process_index()
+    seed = config.seed + host * 1_000_003
     inner_bs = config.dataloader_buffer_size * config.batch_size
     if config.dataset == "synthetic":
         image_size = 224 if isinstance(config.model.vision_encoder_config,
@@ -71,10 +79,10 @@ def build_dataloaders(config: TrainingConfig, tokenizer):
         vocab = config.model.decoder_config.vocab_size
         train_ds = SyntheticFlickrDataset(
             27000, inner_bs, image_size=image_size, vocab_size=vocab,
-            eos_token_id=tokenizer.eos_token_id, seed=config.seed)
+            eos_token_id=tokenizer.eos_token_id, seed=seed)
         val_ds = SyntheticFlickrDataset(
             4000, inner_bs, image_size=image_size, vocab_size=vocab,
-            eos_token_id=tokenizer.eos_token_id, seed=config.seed + 1)
+            eos_token_id=tokenizer.eos_token_id, seed=seed + 1)
     elif config.dataset == "local":
         from image2text_tpu.training.data import get_local_dataloader
 
@@ -87,12 +95,20 @@ def build_dataloaders(config: TrainingConfig, tokenizer):
         train_ds, val_ds = get_flickr30k_dataloader(
             tokenizer, inner_bs, config.shuffle,
             isinstance(config.model.vision_encoder_config, PretrainedViTConfig))
+    return train_ds, val_ds
+
+
+def build_dataloaders(config: TrainingConfig, tokenizer):
+    """train/val WrapperDataLoaders from the configured dataset."""
+    host = jax.process_index()
+    seed = config.seed + host * 1_000_003
+    train_ds, val_ds = build_inner_datasets(config, tokenizer)
     train_dl = WrapperDataLoader(train_ds, batch_size=config.batch_size,
                                  ignore_idx=config.ignore_index,
-                                 epochs=config.epochs, seed=config.seed)
+                                 epochs=config.epochs, seed=seed)
     val_dl = WrapperDataLoader(val_ds, batch_size=config.batch_size,
                                ignore_idx=config.ignore_index, epochs=100000,
-                               seed=config.seed + 1)
+                               seed=seed + 1)
     return train_dl, val_dl
 
 
@@ -117,12 +133,25 @@ def main(args):
     trainer = Trainer(config, wrapper, params)
     import os
 
-    if args.resume_dir and os.path.isdir(args.resume_dir):
+    if args.resume_dir:
         # full-state resume (params + optimizer + step) — beyond the
-        # reference, which restarts from model weights only (SURVEY §5.4)
-        trainer.restore_state(args.resume_dir)
-        print(f"resumed train state from {args.resume_dir} "
-              f"(step {int(trainer.state.step)})")
+        # reference, which restarts from model weights only (SURVEY §5.4).
+        # Multi-host: resume_dir must live on SHARED storage — orbax
+        # save/restore are cross-host collectives, and every process must
+        # agree on whether the checkpoint exists
+        exists = os.path.isdir(args.resume_dir)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            agree = multihost_utils.process_allgather(
+                jnp.asarray([exists], jnp.int32))
+            assert int(agree.min()) == int(agree.max()), (
+                f"{args.resume_dir} exists on some hosts but not others — "
+                "resume_dir must be shared storage")
+        if exists:
+            trainer.restore_state(args.resume_dir)
+            print(f"resumed train state from {args.resume_dir} "
+                  f"(step {int(trainer.state.step)})")
 
     from image2text_tpu.training.data import Prefetcher
 
@@ -130,7 +159,10 @@ def main(args):
     for epoch in range(10000):
         stop = trainer.train_loop(train_iter, epoch,
                                   chkpt_fname=args.chkpt_file)
-        if args.resume_dir and jax.process_index() == 0:
+        if args.resume_dir:
+            # EVERY process calls: orbax PyTreeCheckpointer.save is a
+            # multi-host collective (a rank-0 gate would deadlock the
+            # barrier and could not read other hosts' ZeRO shards)
             trainer.save_state(args.resume_dir)
         if stop:
             break
