@@ -45,8 +45,9 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from image2text_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache()
 import jax.numpy as jnp
 
 MAX_NEW_TOKENS = 32
@@ -217,6 +218,9 @@ def _timed_window(gen_fn, params, raw, prompt, iters, seed):
 
 
 def main():
+    from image2text_tpu.parallel.mesh import honor_platform_env
+
+    honor_platform_env()
     cfg, params, gen_fn, dev, data_sharding = _build()
 
     flops_analytic = analytic_flops_per_caption(cfg, MAX_NEW_TOKENS,

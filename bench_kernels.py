@@ -151,11 +151,14 @@ def _causal_bias(sq, skv):
 
 
 def bench_int4():
+    from image2text_tpu.ops import int4_matmul as int4_mod
     from image2text_tpu.ops.int4_matmul import (
         dequantize_int4,
         int4_matmul,
         quantize_pack_int4,
     )
+
+    int4_mod.INT4_KERNEL = "pallas"  # the sweep measures the KERNEL vs XLA
 
     rows = []
     # (tokens, in, out): GPT-2-medium c_fc-ish, GPT-2-xl, Llama-7B qkv-ish

@@ -1,0 +1,217 @@
+"""Benchmark: flagship training-step throughput (VERDICT r2 item 6).
+
+Prints ONE JSON line:
+    {"metric": "train_tokens_per_sec", "value": N, "unit": "tokens/s",
+     "step_ms": ..., "mfu_hw": ..., "batch_scaling": [...], ...}
+
+Same fenced methodology as ``bench.py`` (which covers the serving path):
+
+* **Fenced timing.** The jitted train step donates and returns the train
+  state, so iteration i+1's input IS iteration i's output — the chain
+  serializes on-device execution.  The window closes on ``np.asarray`` of
+  a param leaf slice + the loss (device→host copies of result bytes), so
+  it cannot close before the device finished computing.
+  ``block_until_ready`` alone is NOT trusted through the axon tunnel
+  (round-1 lesson: it fenced dispatch, not execution).
+* **FLOP accounting.** ``compiled.cost_analysis()['flops']`` on the exact
+  compiled step gives the FLOPs the hardware actually executes (including
+  rematerialized forward passes under gradient checkpointing) — the
+  honest numerator for hardware utilization ``mfu_hw``.  An analytic
+  3×-forward model-FLOP estimate (``bench.analytic_flops_per_caption``'s
+  matmul terms, scaled fwd→fwd+bwd) cross-checks it and yields the
+  conventional ``mfu_model`` (remat FLOPs excluded).  Both must be < 1 or
+  the script fails loudly rather than print them.
+* **Batch scaling table.** Step latency for a 16× batch sweep; once
+  compute-bound it must grow with batch (flat scaling ⇒ the fence broke).
+
+The benched step is the real training path built by
+``image2text_tpu.training.loop.make_train_step``: flagship
+``tpu/nano-mini.yaml`` architecture (12L sparse ViT + 12L MQA/MoE sparse
+decoder, gradient checkpointing on), bf16 compute / fp32 master weights,
+masked-LM corruption, SNR optimizer — the same program ``trainer.py``
+would run per step on this config (reference: training/utils.py:63-110).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from image2text_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache()
+import jax.numpy as jnp
+
+from bench import analytic_flops_per_caption, chip_peak_flops
+
+SEQ_LEN = 256  # the data pipeline's padded caption length (training/data.py)
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+BATCHES = (4, 8) if SMOKE else (16, 48, 96, 192)
+
+
+def _build():
+    from __graft_entry__ import _flagship_config
+    from image2text_tpu.training.loop import TrainState, make_train_step
+    from image2text_tpu.training.optimizer import build_optimizer
+    from image2text_tpu.training.wrapper import (
+        ModelTrainerWrapper,
+        TokenizerInfo,
+    )
+
+    cfg = _flagship_config(tiny=SMOKE)
+    cfg.precision = "bf16"
+    cfg.use_snr_optim = True
+    cfg.trainer.mask_fraction = 0.15
+    cfg.trainer.random_mask_fraction = 0.2
+    vocab = cfg.model.decoder_config.vocab_size
+    tok = TokenizerInfo(eos_token_id=0, bos_token_id=1, mask_token_id=2,
+                        vocab_size=vocab)
+    wrapper = ModelTrainerWrapper(cfg.model, tok, cfg.trainer,
+                                  ignore_index=cfg.ignore_index)
+    params = wrapper.init(jax.random.PRNGKey(0))
+    tx, _, _ = build_optimizer(wrapper, params, cfg.optimizers,
+                               use_snr=cfg.use_snr_optim)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = jax.jit(
+        make_train_step(wrapper, tx, accum_steps=1, precision=cfg.precision,
+                        use_flash=not cfg.disable_flash),
+        donate_argnums=(0,))
+    return cfg, state, step_fn
+
+
+def _inputs(cfg, batch, seed=0):
+    rng = np.random.default_rng(seed)
+    size = cfg.model.vision_encoder_config.input.width
+    seq = min(SEQ_LEN, cfg.model.decoder_config.block_size)
+    images = jnp.asarray(rng.standard_normal((batch, 3, size, size)),
+                         jnp.float32)
+    labels = np.full((batch, seq), 0, np.int64)  # eos-padded
+    lens = rng.integers(8, seq - 1, batch)
+    for i, n in enumerate(lens):
+        labels[i, :n] = rng.integers(3, cfg.model.decoder_config.vocab_size - 1,
+                                     n)
+    return images, jnp.asarray(labels), int(np.sum(lens)) + batch
+
+
+def _fence(state, metrics):
+    """D2H-materialize a param leaf slice + the loss: the copies cannot
+    complete before the compiled step finished computing them."""
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    a = np.asarray(leaf.reshape(-1)[:8])
+    b = np.asarray(metrics["train_loss_lm"])
+    assert np.all(np.isfinite(a)) and np.isfinite(b), (a, b)
+    return float(b)
+
+
+def _timed_window(step_fn, state, images, labels, rng, iters):
+    t0 = time.perf_counter()
+    metrics = None
+    for _ in range(iters):
+        state, metrics = step_fn(state, images, labels, rng)
+    loss = _fence(state, metrics)
+    dt = time.perf_counter() - t0
+    return dt, state, loss
+
+
+def main():
+    from image2text_tpu.parallel.mesh import honor_platform_env
+
+    honor_platform_env()
+    cfg, state, step_fn = _build()
+    rng = jax.random.PRNGKey(0)
+
+    scaling = []
+    per_batch = {}
+    tokens_by_batch = {}
+    for batch in BATCHES:
+        images, labels, n_real_tokens = _inputs(cfg, batch)
+        state, m = step_fn(state, images, labels, rng)  # warm/compile
+        _fence(state, m)
+        iters = 3 if SMOKE else 8
+        dts = []
+        for _ in range(3):
+            dt, state, _ = _timed_window(step_fn, state, images, labels, rng,
+                                         iters)
+            dts.append(dt)
+        lat_ms = sorted(dts)[1] / iters * 1000.0
+        scaling.append({"batch": batch, "step_ms": round(lat_ms, 2),
+                        "tokens_per_sec":
+                            round(batch * labels.shape[1] / (lat_ms / 1e3))})
+        per_batch[batch] = lat_ms
+        tokens_by_batch[batch] = batch * labels.shape[1]
+
+    best = max(per_batch, key=lambda b: tokens_by_batch[b] / per_batch[b])
+    images, labels, _ = _inputs(cfg, best)
+    iters = 4 if SMOKE else 16
+    dts = []
+    for _ in range(3):
+        dt, state, loss = _timed_window(step_fn, state, images, labels, rng,
+                                        iters)
+        dts.append(dt)
+    step_ms = sorted(dts)[1] / iters * 1000.0
+    tok_per_sec = tokens_by_batch[best] / (step_ms / 1e3)
+
+    # ---- FLOP accounting ---------------------------------------------------
+    flops_xla = None
+    try:
+        ca = step_fn.lower(state, images, labels, rng).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and "flops" in ca:
+            flops_xla = float(ca["flops"])
+    except Exception:
+        pass
+    # model FLOPs: fwd ≈ serving fwd at seq_len tokens (reuse bench.py's
+    # analytic matmul accounting via max_new_tokens=seq-1), bwd ≈ 2× fwd
+    fwd = analytic_flops_per_caption(cfg, labels.shape[1] - 1, 1)
+    flops_model = 3.0 * fwd * best
+
+    dev = jax.devices()[0]
+    peak = chip_peak_flops(dev) * max(1, len(jax.devices()))
+    steps_per_sec = 1000.0 / step_ms
+    mfu_hw = (flops_xla or 0.0) * steps_per_sec / peak
+    mfu_model = flops_model * steps_per_sec / peak
+    for name, v in (("mfu_hw", mfu_hw), ("mfu_model", mfu_model)):
+        assert v < 1.0, (
+            f"{name} {v:.2f} >= 1: implied FLOP/s exceeds the chip peak — "
+            "the timing fence is broken; do not publish this number")
+    lo, hi = BATCHES[0], BATCHES[-1]
+    if not SMOKE and per_batch[hi] < 1.5 * per_batch[lo]:
+        raise AssertionError(
+            f"batch-{hi} step ({per_batch[hi]:.2f} ms) is not >=1.5x "
+            f"batch-{lo} step ({per_batch[lo]:.2f} ms): flat scaling across "
+            f"{hi // lo}x compute means the window closed on dispatch")
+
+    print(json.dumps({
+        "metric": "train_tokens_per_sec",
+        "value": round(tok_per_sec),
+        "unit": "tokens/s",
+        "step_ms": round(step_ms, 2),
+        "steps_per_sec": round(steps_per_sec, 2),
+        "batch": best,
+        "seq_len": int(labels.shape[1]),
+        "final_train_loss_lm": round(loss, 4),
+        "flops_per_step_xla": round(flops_xla) if flops_xla else None,
+        "flops_per_step_model_3x_analytic": round(flops_model),
+        "mfu_hw": round(mfu_hw, 4),
+        "mfu_model": round(mfu_model, 4),
+        "chip_peak_bf16_flops": peak,
+        "batch_scaling": scaling,
+        "timing": "median-of-3 fenced windows (donated-state chained, "
+                  "D2H-materialized)",
+        "device": str(dev.platform),
+        "device_kind": getattr(dev, "device_kind", "?"),
+        "n_devices": max(1, len(jax.devices())),
+        "precision": "bf16 compute / fp32 master",
+        "optimizer": "SNRAdam",
+        "grad_checkpointing": True,
+        "model": "tpu/nano-mini (12L enc + 12L dec, 1024d, MQA/MoE/sparse)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

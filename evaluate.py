@@ -35,13 +35,19 @@ def _strip(ids, eos):
 
 
 def main(args):
+    from image2text_tpu.parallel.mesh import honor_platform_env
+    from image2text_tpu.utils.compile_cache import setup_compile_cache
+
+    honor_platform_env()
+    setup_compile_cache()
     with open(args.config_file) as f:
         config = TrainingConfig.model_validate(yaml.safe_load(f))
     if args.chkpt_file:
         config.model.chkpt_path = args.chkpt_file
     tokenizer = get_tokenizer(
         config.tokenizer_str, config.trainer.mask_fraction,
-        synthetic_vocab=config.model.decoder_config.vocab_size)
+        synthetic_vocab=config.model.decoder_config.vocab_size,
+        allow_fallback=config.dataset == "synthetic")
     model = VisionEncoderDecoder(config.model)
     params = model.init(jax.random.PRNGKey(config.seed))
 

@@ -69,3 +69,8 @@ class TrainingConfig(BaseModel):
     # ZeRO-1: shard optimizer moments over the mesh 'data' axis (cuts
     # optimizer HBM by the dp degree; XLA all-gathers updates over ICI)
     zero_sharded_optimizer: bool = False
+    # bound on the outer epoch loop (TPU extension; the reference hardcodes
+    # range(10000) and stops on data exhaustion — trainer.py:177.  `epochs`
+    # bounds DATA epochs, which `num_steps` slices into many loop-epochs;
+    # smoke/CI configs set this to finish in bounded time)
+    max_loop_epochs: Optional[int] = None

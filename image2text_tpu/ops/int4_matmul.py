@@ -39,6 +39,17 @@ from jax.experimental.pallas import tpu as pltpu
 QBLOCK = 64          # columns per scale (as a 32+32 strip pair)
 STRIP = QBLOCK // 2  # 32
 
+# Forward-path dispatch: "xla" (default) dequantises then dots; "pallas"
+# runs the fused kernel for tileable shapes.  Default is XLA because the
+# only decision-grade measurement so far (BENCH_KERNELS round-2, single
+# valid row) has the fused kernel at 0.28× the XLA dequant-dot — the
+# kernel's proven value is the 4.5× weight-byte HBM reduction, not speed.
+# Flip via IMAGE2TEXT_INT4_KERNEL=pallas once a healthy-chip sweep shows a
+# win (the env var is read at import; tests set it to cover both paths).
+import os as _os  # noqa: E402
+
+INT4_KERNEL = _os.environ.get("IMAGE2TEXT_INT4_KERNEL", "xla")
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -196,9 +207,10 @@ def _int4_matmul_pallas(x: jax.Array, packed: jax.Array, scales: jax.Array,
 
 def _int4_matmul_impl(x, packed, scales):
     halfw = packed.shape[1]
-    if _pick_bp(halfw) is None:
-        # shapes the kernel declines (packed width not tileable to a
-        # 128-multiple, e.g. Falcon's 4544 → halfw 2272): XLA unpack+dot
+    if INT4_KERNEL != "pallas" or _pick_bp(halfw) is None:
+        # XLA unpack+dot: the default path (see INT4_KERNEL above), and
+        # the fallback for shapes the kernel declines (packed width not
+        # tileable to a 128-multiple, e.g. Falcon's 4544 → halfw 2272)
         w = dequantize_int4(packed, scales, jnp.float32)  # (out, in_pad)
         y = jax.lax.dot_general(
             x.astype(jnp.float32), w,

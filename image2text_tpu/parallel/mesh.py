@@ -43,6 +43,23 @@ def maybe_initialize_distributed() -> None:
         raise
 
 
+def honor_platform_env() -> None:
+    """Re-assert the user's ``JAX_PLATFORMS`` choice.
+
+    Stock jax honors the env var, but a PJRT plugin's site hook can force
+    its own platform list at interpreter start (observed: the axon TPU
+    plugin pins ``jax_platforms="axon,cpu"``), silently overriding a
+    user-exported ``JAX_PLATFORMS=cpu`` — host-side smoke runs then hang
+    on a degraded TPU tunnel instead of using the CPU.  Entry points call
+    this before any backend-initialising JAX API to restore the env-var
+    contract."""
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if env and jax.config.jax_platforms != env:
+        jax.config.update("jax_platforms", env)
+
+
 def make_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:
     devices = list(jax.devices()) if devices is None else list(devices)
     model = config.model if config is not None else 1

@@ -39,6 +39,9 @@ TP_RULES = (
     # scratch MQA
     ("*attn.q_proj.weight", "col"),
     ("*attn.out_proj.weight", "row"),
+    # cross-attention (torch MultiheadAttention layout): packed qkv in_proj
+    # column-split; out_proj covered by the *attn.out_proj.weight row rule
+    ("*attn.in_proj_weight", "col"),
     # Llama/Qwen
     ("*self_attn.q_proj.weight", "col"),
     ("*self_attn.k_proj.weight", "col"),
@@ -62,14 +65,20 @@ TP_RULES = (
 
 
 def _spec_for(path: str, shape, model_size: int):
+    # NOTE: specs are written in GSPMD-normal form (no trailing Nones):
+    # P('model') and P('model', None) are the same placement but compare
+    # UNEQUAL in jit's cache key, and XLA emits outputs in normal form —
+    # a denormal input spec would force a silent retrace+recompile of the
+    # train step on its second call (observed: 80s per extra compile on a
+    # CPU host; a full flagship recompile on TPU).
     for pattern, kind in TP_RULES:
         if fnmatch.fnmatch(path, pattern):
             if kind == "col" and len(shape) == 2 and shape[0] % model_size == 0:
-                return P("model", None)
+                return P("model")
             if kind == "row" and len(shape) == 2 and shape[1] % model_size == 0:
                 return P(None, "model")
             if kind == "expert" and shape[0] % model_size == 0:
-                return P(*(("model",) + (None,) * (len(shape) - 1)))
+                return P("model")
             return P()  # indivisible: replicate rather than fail
     # biases of column-parallel layers follow their weight's out split
     if path.endswith("bias"):
@@ -132,7 +141,6 @@ def zero_opt_state_shardings(opt_state, mesh: Mesh,
             return sh  # TP-sharded moment: keep
         if leaf.size < min_size or leaf.shape[0] % data != 0:
             return repl
-        return NamedSharding(mesh,
-                             P(*(("data",) + (None,) * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P("data"))  # GSPMD-normal form
 
     return jax.tree_util.tree_map(rule, opt_state)

@@ -301,7 +301,10 @@ class RowBatcher:
         self._epoch = 0
 
     def __len__(self):
-        # torch-DataLoader semantics (drop_last=False): final partial batch
+        # every batch is full-size: a short tail wraps around the epoch's
+        # row order (TPU deviation from torch drop_last=False — jitted steps
+        # and shard_batch's cross-host collective need every process to
+        # yield the same count of identically-shaped batches)
         return -(-len(self.rows) // self.batch_size)
 
     def __iter__(self):
@@ -311,21 +314,30 @@ class RowBatcher:
             # DataLoader re-iterated across epochs (but still seeded)
             np.random.default_rng((self.seed, self._epoch)).shuffle(order)
             self._epoch += 1
+        tail = len(order) % self.batch_size
+        if tail and len(order) >= self.batch_size:
+            order = np.concatenate([order, order[:self.batch_size - tail]])
+        elif tail:  # fewer rows than one batch: cycle up to batch_size
+            order = np.resize(order, self.batch_size)
         buf = []
         for i in order:
             buf.append(self.transform(self.rows[int(i)]))
             if len(buf) == self.batch_size:
                 yield {k: np.stack([r[k] for r in buf]) for k in buf[0]}
                 buf = []
-        if buf:
-            yield {k: np.stack([r[k] for r in buf]) for k in buf[0]}
 
 
 class _StridedRows:
     """Every ``count``-th row starting at ``offset`` — each host of a
     multi-host run reads its own disjoint subset (the reference's
     accelerate split_batches gives each rank distinct data; identical
-    per-host streams would train on duplicated examples)."""
+    per-host streams would train on duplicated examples).
+
+    Length is truncated to ``len(rows) // count`` — the COMMON length across
+    all offsets — so every host yields the same number of batches.  Unequal
+    shards would desynchronize shard_batch's cross-host collective when one
+    host hits StopIteration a step early (up to count-1 rows per epoch are
+    dropped, the standard distributed-sampler trade)."""
 
     def __init__(self, rows, offset: int, count: int):
         self.rows = rows
@@ -333,7 +345,7 @@ class _StridedRows:
         self.count = count
 
     def __len__(self):
-        return (len(self.rows) - self.offset + self.count - 1) // self.count
+        return len(self.rows) // self.count
 
     def __getitem__(self, i):
         return self.rows[self.offset + int(i) * self.count]

@@ -181,6 +181,16 @@ class Trainer:
         else:
             params = jax.device_put(params, rep)
         opt_state = self.tx.init(params)
+        # fresh scalars from tx.init (e.g. SNR's `iter` counter) land on the
+        # default device, not the mesh — replicate them so the whole state
+        # lives on one device set (a mixed-device state both breaks the
+        # out_shardings pin below and desyncs multi-host meshes)
+        from jax.sharding import NamedSharding
+
+        opt_state = jax.tree_util.tree_map(
+            lambda x: x if isinstance(getattr(x, "sharding", None),
+                                      NamedSharding)
+            else jax.device_put(x, rep), opt_state)
         opt_shardings = None
         if (config.zero_sharded_optimizer
                 and self.mesh.shape.get("data", 1) > 1):
@@ -198,12 +208,22 @@ class Trainer:
         use_flash = not config.disable_flash
         # shardings are carried by the (committed) inputs: params tp-or-
         # replicated, batches P('data') via shard_batch
+        # Pin output state shardings to the INPUT state's: without this,
+        # GSPMD may emit an output spec that is equivalent but not equal to
+        # the input's (normal-form P('model') vs P('model', None), or a
+        # propagated sharding for a rule-less param), and the second step —
+        # whose input is the first step's output — silently retraces and
+        # recompiles the whole train program (~80s on a CPU host, a full
+        # flagship compile on TPU).  Metrics stay unconstrained.
+        state_shardings = jax.tree_util.tree_map(lambda a: a.sharding,
+                                                 self.state)
         self._train_step = jax.jit(
             make_train_step(wrapper, self.tx,
                             config.gradient_accumulation_steps,
                             config.precision, use_flash,
                             opt_shardings=opt_shardings),
-            donate_argnums=(0,))
+            donate_argnums=(0,),
+            out_shardings=(state_shardings, None))
         self._val_step = jax.jit(
             make_val_step(wrapper, config.precision, use_flash))
         self.rng = jax.random.PRNGKey(config.seed)
@@ -250,9 +270,12 @@ class Trainer:
             params["model_m"] = self.wrapper.copy_momentum_params(params)
             self.state = self.state._replace(params=params)
 
-        if chkpt_fname is not None and jax.process_index() == 0:
+        if chkpt_fname is not None:
             from image2text_tpu.utils.checkpoint import save_checkpoint
 
+            # EVERY process calls: export_state_dict's gather is a
+            # cross-process collective for multi-host-mesh params; only
+            # process 0 writes the file (gate lives inside save_checkpoint)
             save_checkpoint(self.wrapper.model, self.state.params["model"],
                             chkpt_fname, matchers=self.matchers or None)
         return stop

@@ -65,9 +65,18 @@ class SyntheticTokenizer:
 
 
 def get_tokenizer(tokenizer_str: str, mask_fraction: float = 0.0,
-                  synthetic_vocab: Optional[int] = None):
-    """AutoTokenizer with reference special-token logic; 'synthetic' (or an
-    unavailable HF hub) falls back to SyntheticTokenizer."""
+                  synthetic_vocab: Optional[int] = None,
+                  allow_fallback: bool = False):
+    """AutoTokenizer with reference special-token logic; 'synthetic' asks
+    for the SyntheticTokenizer explicitly.
+
+    ``allow_fallback`` controls what happens when the HF tokenizer cannot
+    be loaded (air-gapped machine without an HF cache): True substitutes a
+    SyntheticTokenizer with a loud warning — correct for synthetic-dataset
+    smoke runs and benchmarks, where token *identities* are arbitrary —
+    while False (the default) re-raises, because a real-data run tokenized
+    by the fallback would produce plausible-looking but meaningless
+    checkpoints and metrics."""
     if tokenizer_str == "synthetic":
         return SyntheticTokenizer(synthetic_vocab or 1024)
     from transformers import AutoTokenizer
@@ -75,8 +84,12 @@ def get_tokenizer(tokenizer_str: str, mask_fraction: float = 0.0,
     try:
         tokenizer = AutoTokenizer.from_pretrained(tokenizer_str)
     except OSError as e:
-        # air-gapped machine without an HF cache: fall back loudly so
-        # offline smoke runs still work (documented behaviour)
+        if not allow_fallback:
+            raise RuntimeError(
+                f"tokenizer {tokenizer_str!r} is unavailable (no HF cache / "
+                "no network) and this run uses real data — refusing the "
+                "SyntheticTokenizer substitute; set tokenizer_str: synthetic "
+                "or use a synthetic dataset for offline smoke runs") from e
         import sys
 
         print(f"WARNING: tokenizer {tokenizer_str!r} unavailable "

@@ -93,8 +93,19 @@ def export_state_dict(module: Module, params: Dict) -> Dict[str, np.ndarray]:
 
 def save_checkpoint(module: Module, params: Dict, path: str,
                     matchers: Optional[List[PatternMatcher]] = None) -> None:
-    """Write a (optionally pattern-filtered) flat checkpoint."""
+    """Write a (optionally pattern-filtered) flat checkpoint.
+
+    Multi-host invariant: EVERY process must call this function.  The
+    ``export_state_dict`` gather below runs ``process_allgather`` — a
+    cross-process *collective* — for any non-fully-addressable param
+    (replicated or sharded over a multi-host mesh).  Only process 0 writes
+    the file; a rank-0 gate *around* the call would leave the other
+    processes out of the collective and deadlock rank 0."""
+    import jax
+
     sd = export_state_dict(module, params)
+    if jax.process_index() != 0:
+        return
     if matchers:
         buffers = set(module.buffer_paths())
         sd = {k: v for k, v in sd.items()

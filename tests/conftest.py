@@ -18,26 +18,12 @@ import jax  # noqa: E402  (import after env setup)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# persistent compilation cache: repeated pytest runs skip recompiles.
-# Keyed by host CPU flags — XLA:CPU AOT results baked for another machine's
-# feature set load with SIGILL risk (observed when /tmp persists across
-# differently-featured hosts).
-import hashlib  # noqa: E402
+# persistent compilation cache: repeated pytest runs skip recompiles
+# (shared across entry points; see utils/compile_cache.py for the
+# host-feature cache key rationale)
+from image2text_tpu.utils.compile_cache import setup_compile_cache  # noqa: E402
 
-import platform  # noqa: E402
-
-try:
-    with open("/proc/cpuinfo") as _f:
-        # x86 lists 'flags', ARM 'Features'; one line suffices (identical
-        # across cores)
-        _flags = next((l for l in _f
-                       if l.startswith(("flags", "Features"))), "")
-except OSError:
-    _flags = ""
-_cache_key = hashlib.sha1(
-    f"{platform.machine()}:{_flags}".encode()).hexdigest()[:10]
-jax.config.update("jax_compilation_cache_dir", f"/tmp/jaxcache-tests-{_cache_key}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+setup_compile_cache()
 
 import pytest  # noqa: E402
 

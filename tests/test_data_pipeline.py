@@ -273,3 +273,76 @@ def test_local_dataloader_requires_dataset_dir():
     with pytest.raises(ValueError, match="dataset_dir"):
         get_local_dataloader(tok, batch_size=2, shuffle=False,
                              is_vit=False, dataset_dir=None)
+
+
+def test_strided_rows_equal_length_across_hosts():
+    """Regression (ADVICE r2): with len(rows) % process_count != 0, every
+    host's shard must report the SAME length — unequal shards desync the
+    shard_batch collective when one host runs out of batches first."""
+    from image2text_tpu.training.data import _StridedRows
+
+    rows = list(range(10))  # 10 % 4 != 0
+    shards = [_StridedRows(rows, o, 4) for o in range(4)]
+    lengths = [len(s) for s in shards]
+    assert lengths == [10 // 4] * 4, lengths
+    # disjoint coverage, all indices valid
+    seen = [s[i] for s in shards for i in range(len(s))]
+    assert len(seen) == len(set(seen))
+    assert all(0 <= v < 10 for v in seen)
+
+
+def test_rowbatcher_only_full_batches():
+    """Regression (ADVICE r2): the final partial batch wraps to full size so
+    multi-host batch counts AND shapes stay lockstep."""
+    from image2text_tpu.training.data import RowBatcher, make_row_transform
+
+    tok = SyntheticTokenizer(512)
+    rows = _fake_dataset(7)  # 7 % 3 != 0
+    batcher = RowBatcher(rows, make_row_transform(tok, False, MAX_LEN),
+                         batch_size=3, shuffle=True, seed=0)
+    batches = list(batcher)
+    assert len(batches) == len(batcher) == -(-7 // 3)
+    assert all(b["image"].shape[0] == 3 for b in batches)
+    # fewer rows than one batch: cycle rows up to batch_size
+    small = RowBatcher(_fake_dataset(2), make_row_transform(tok, False, MAX_LEN),
+                       batch_size=4, shuffle=False, seed=0)
+    batches = list(small)
+    assert len(batches) == 1 and batches[0]["image"].shape[0] == 4
+
+
+def test_tokenizer_fallback_gated(monkeypatch):
+    """Regression (ADVICE r2): a missing HF tokenizer must raise for
+    real-data runs and substitute SyntheticTokenizer only when explicitly
+    allowed (synthetic-dataset smoke runs)."""
+    from image2text_tpu.training.tokenizer import get_tokenizer
+
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    monkeypatch.setenv("TRANSFORMERS_OFFLINE", "1")
+    name = "definitely-not-a-cached-tokenizer-xyz"
+    with pytest.raises(RuntimeError, match="refusing"):
+        get_tokenizer(name)
+    tok = get_tokenizer(name, synthetic_vocab=777, allow_fallback=True)
+    assert isinstance(tok, SyntheticTokenizer)
+    assert tok.vocab_size == 777
+
+
+def test_save_checkpoint_rank_gate_inside(monkeypatch, tmp_path):
+    """Regression (VERDICT r2 #4): every process runs export_state_dict (a
+    collective on multi-host meshes); only process 0 writes the file.  A
+    non-zero rank must perform the export and write NOTHING."""
+    import jax
+
+    from image2text_tpu.nn.modules import Linear
+    from image2text_tpu.utils import checkpoint as ckpt
+
+    m = Linear(4, 4)
+    p = m.init(jax.random.PRNGKey(0))
+    exported = []
+    real_export = ckpt.export_state_dict
+    monkeypatch.setattr(ckpt, "export_state_dict",
+                        lambda *a, **k: exported.append(1) or real_export(*a, **k))
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    path = tmp_path / "rank1.npz"
+    ckpt.save_checkpoint(m, p, str(path))
+    assert exported, "rank!=0 must still run the collective gather"
+    assert not path.exists(), "only process 0 writes the checkpoint file"

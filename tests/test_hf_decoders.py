@@ -318,12 +318,17 @@ def test_llama_kv_cache_decode():
                                atol=2e-4, rtol=2e-4)
 
 
-def test_int4_matmul_kernel_matches_dequant():
+def test_int4_matmul_kernel_matches_dequant(monkeypatch):
     """Pallas fused dequant-matmul == XLA unpack+dot, incl. padding and
     row tiling (n > block)."""
     from image2text_tpu.models.quantization import (dequantize_blockwise,
                                                     quantize_blockwise)
+    from image2text_tpu.ops import int4_matmul as int4_mod
     from image2text_tpu.ops.int4_matmul import int4_matmul
+
+    # the default dispatch is the XLA path (no decision-grade speed win
+    # yet); force the kernel so this test covers the Pallas code
+    monkeypatch.setattr(int4_mod, "INT4_KERNEL", "pallas")
 
     rng = np.random.default_rng(0)
     for (n, in_f, out_f) in [(16, 256, 192), (8, 100, 40), (32, 448, 300),

@@ -305,6 +305,45 @@ def test_tensor_parallel_matches_data_parallel():
     np.testing.assert_allclose(losses["dp8"], losses["dp4tp2"], rtol=1e-4)
 
 
+def test_train_step_compiles_once_across_steps():
+    """Regression (round 3): the second train step must HIT the jit cache.
+
+    Two bugs made step 2 silently retrace + recompile the whole program
+    (~80s on CPU, a full flagship compile on TPU): (a) `place_params` wrote
+    denormal specs (P('model', None)) while GSPMD emits normal form
+    (P('model')) — equivalent placement, unequal cache key; (b) params with
+    no TP rule (cross_attn in_proj) came back GSPMD-sharded.  Fixed by
+    normal-form rules + pinning out_shardings to the input state's."""
+    from image2text_tpu.configs.trainer import MeshConfig
+    from image2text_tpu.parallel.mesh import make_mesh, shard_batch
+    from image2text_tpu.training.loop import Trainer
+
+    cfg_model = tiny_config(use_cross_attn=True)
+    config = TrainingConfig(
+        model=cfg_model, batch_size=8, epochs=1, num_steps=1, num_val_steps=1,
+        tokenizer_str="synthetic", gradient_accumulation_steps=2,
+        trainer=TrainerWrapperConfig(moco_momentum=0.99, moco_alpha=0.1,
+                                     mask_fraction=0.15),
+        optimizers=[OptimizerConfig(lr=1e-3)], dataset="synthetic",
+        use_snr_optim=True, precision="bf16",
+        mesh=MeshConfig(data=4, model=2))
+    wrapper = ModelTrainerWrapper(cfg_model, TOK, config.trainer)
+    params = wrapper.init(KEY)
+    trainer = Trainer(config, wrapper, params, mesh=make_mesh(config.mesh))
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.standard_normal((8, 3, 64, 64)), jnp.float32)
+    lb = jnp.asarray(np.where(rng.random((8, 24)) < 0.7,
+                              rng.integers(2, 1000, (8, 24)), -100))
+    im, lb = shard_batch(trainer.mesh, im, lb)
+    for _ in range(3):
+        trainer.state, metrics = trainer._train_step(trainer.state, im, lb,
+                                                     trainer.rng)
+    assert np.isfinite(float(metrics["train_loss_lm"]))
+    assert trainer._train_step._cache_size() == 1, (
+        "the train step retraced: output state avals/shardings do not "
+        "round-trip as inputs")
+
+
 def test_smoke_train_loss_decreases():
     cfg_model = tiny_config()
     config = TrainingConfig(

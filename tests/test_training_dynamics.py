@@ -49,12 +49,21 @@ BATCH = 8
 N_CLASSES = 8
 
 
-def make_stream(num_batches: int, batch: int, seed: int):
+def make_stream(num_batches: int, batch: int, seed: int,
+                task_seed: int = None):
     """Image-conditional synthetic batches (images carry a class pattern,
-    labels are the class's token template) shared by both frameworks."""
+    labels are the class's token template) shared by both frameworks.
+
+    ``task_seed`` fixes the class→(pattern, template) mapping separately
+    from the row draws — a val stream with the train stream's task_seed is
+    held-out rows of the SAME task (so its loss can genuinely descend),
+    not a different task."""
     rng = np.random.default_rng(seed)
-    patterns = rng.standard_normal((N_CLASSES, 3, 64, 64)).astype(np.float32)
-    templates = rng.integers(3, VOCAB, (N_CLASSES, SEQ - 4)).astype(np.int64)
+    task_rng = np.random.default_rng(seed if task_seed is None else task_seed)
+    patterns = task_rng.standard_normal((N_CLASSES, 3, 64, 64)) \
+        .astype(np.float32)
+    templates = task_rng.integers(3, VOCAB, (N_CLASSES, SEQ - 4)) \
+        .astype(np.int64)
     out = []
     for _ in range(num_batches):
         cls = rng.integers(0, N_CLASSES, batch)
@@ -68,7 +77,15 @@ def make_stream(num_batches: int, batch: int, seed: int):
     return out
 
 
-def _trainer_payload(mask_fraction: float):
+def _trainer_payload(mask_fraction: float, plain_ce: bool = False):
+    if plain_ce:
+        # plain weighted-CE-only engine: no EMA teacher, no contrastive,
+        # no corruption — at toy scale this configuration DESCENDS, so the
+        # parity claim is immune to "two broken things can agree"
+        return dict(
+            moco_momentum=None, moco_alpha=None, training_temperature=1.0,
+            weight_fn="constant", mask_fraction=0.0,
+            random_mask_fraction=0.0, add_contrastive_loss=False)
     return dict(
         moco_momentum=0.995, moco_alpha=0.4, training_temperature=1.0,
         training_contrastive_temperature=0.5,
@@ -78,7 +95,7 @@ def _trainer_payload(mask_fraction: float):
 
 
 def run_torch(steps, record_every, stream, val_batch, use_snr, lr,
-              mask_fraction):
+              mask_fraction, plain_ce=False):
     torch, RefConfig, _ = _load_reference()
     sys.path.insert(0, REFERENCE)
     try:
@@ -92,9 +109,9 @@ def run_torch(steps, record_every, stream, val_batch, use_snr, lr,
     tok = types.SimpleNamespace(eos_token_id=0, bos_token_id=1,
                                 mask_token_id=2, vocab_size=VOCAB)
     torch.manual_seed(0)
-    wrapper = RefWrapper(RefConfig.model_validate(_config_payload(**CASE)),
-                         tok,
-                         RefTWC.model_validate(_trainer_payload(mask_fraction)))
+    wrapper = RefWrapper(
+        RefConfig.model_validate(_config_payload(**CASE)), tok,
+        RefTWC.model_validate(_trainer_payload(mask_fraction, plain_ce)))
     # .copy(): .numpy() aliases the live tensors, which the optimizer then
     # mutates in place — without it the jax run would start from the
     # POST-training weights
@@ -131,7 +148,7 @@ def run_torch(steps, record_every, stream, val_batch, use_snr, lr,
 
 
 def run_jax(steps, record_every, stream, val_batch, use_snr, lr,
-            mask_fraction, init_sd):
+            mask_fraction, init_sd, plain_ce=False):
     import tempfile
 
     import jax
@@ -156,14 +173,16 @@ def run_jax(steps, record_every, stream, val_batch, use_snr, lr,
         VisionEncoderDecoderConfig.model_validate(_config_payload(**CASE)),
         TokenizerInfo(eos_token_id=0, bos_token_id=1, mask_token_id=2,
                       vocab_size=VOCAB),
-        TrainerWrapperConfig.model_validate(_trainer_payload(mask_fraction)))
+        TrainerWrapperConfig.model_validate(
+            _trainer_payload(mask_fraction, plain_ce)))
     params = dict(wrapper.init(jax.random.PRNGKey(0)))
     with tempfile.TemporaryDirectory() as td:
         path = f"{td}/init.npz"
         np.savez(path, **init_sd)
         params["model"] = update_params_from_partial_checkpoint(
             wrapper.model, params["model"], path)
-    params["model_m"] = wrapper.copy_momentum_params(params)
+    if wrapper.is_momentum:
+        params["model_m"] = wrapper.copy_momentum_params(params)
 
     tx, _, _ = build_optimizer(
         wrapper, params,
@@ -188,13 +207,14 @@ def run_jax(steps, record_every, stream, val_batch, use_snr, lr,
     return curve
 
 
-def run_pair(steps, record_every, use_snr, mask_fraction, lr=1e-3, seed=0):
+def run_pair(steps, record_every, use_snr, mask_fraction, lr=1e-3, seed=0,
+             plain_ce=False):
     stream = make_stream(steps, BATCH, seed)
-    val_batch = make_stream(1, 32, seed + 1)[0]
+    val_batch = make_stream(1, 32, seed + 1, task_seed=seed)[0]
     t_curve, sd = run_torch(steps, record_every, stream, val_batch, use_snr,
-                            lr, mask_fraction)
+                            lr, mask_fraction, plain_ce)
     j_curve = run_jax(steps, record_every, stream, val_batch, use_snr, lr,
-                      mask_fraction, sd)
+                      mask_fraction, sd, plain_ce)
     return np.asarray(t_curve), np.asarray(j_curve)
 
 
@@ -213,6 +233,17 @@ def test_adamw_moco_dynamics_match():
     np.testing.assert_allclose(j, t, rtol=2e-2)
 
 
+def test_plain_ce_descends_in_lockstep():
+    """Descending combo (VERDICT r2 item 7): plain CE, no MoCo/contrastive/
+    corruption — both frameworks' val losses must DECREASE and coincide
+    (deterministic: identical weights, batches, no stochastic ops)."""
+    t, j = run_pair(steps=30, record_every=6, use_snr=False,
+                    mask_fraction=0.0, plain_ce=True, lr=3e-3)
+    assert t[-1] < t[0] * 0.9, f"torch CE did not descend: {t}"
+    assert j[-1] < j[0] * 0.9, f"jax CE did not descend: {j}"
+    np.testing.assert_allclose(j, t, rtol=2e-2)
+
+
 def test_snr_masked_dynamics_band():
     """Stochastic combo (SNRAdam + MoCo + masked-LM corruption): different
     corruption RNGs, so compare as a band: the curves move together and
@@ -227,12 +258,14 @@ def test_snr_masked_dynamics_band():
 if __name__ == "__main__":
     # the long-form run recorded in PARITY.md
     out = {}
-    for name, (use_snr, mask) in {
-        "adamw_moco_deterministic": (False, 0.0),
-        "snr_moco_masked": (True, 0.15),
+    for name, (use_snr, mask, plain) in {
+        "adamw_moco_deterministic": (False, 0.0, False),
+        "snr_moco_masked": (True, 0.15, False),
+        "plain_ce_descending": (False, 0.0, True),
     }.items():
         t, j = run_pair(steps=200, record_every=20, use_snr=use_snr,
-                        mask_fraction=mask)
+                        mask_fraction=mask, plain_ce=plain,
+                        lr=3e-3 if plain else 1e-3)
         rel = np.abs(j - t) / np.maximum(np.abs(t), 1e-9)
         out[name] = {
             "steps": 200, "record_every": 20,

@@ -21,7 +21,10 @@ import yaml
 
 from image2text_tpu.configs.models import PretrainedViTConfig
 from image2text_tpu.configs.trainer import TrainingConfig
-from image2text_tpu.parallel.mesh import maybe_initialize_distributed
+from image2text_tpu.parallel.mesh import (
+    honor_platform_env,
+    maybe_initialize_distributed,
+)
 from image2text_tpu.training.data import (
     SyntheticFlickrDataset,
     WrapperDataLoader,
@@ -113,6 +116,10 @@ def build_dataloaders(config: TrainingConfig, tokenizer):
 
 
 def main(args):
+    from image2text_tpu.utils.compile_cache import setup_compile_cache
+
+    honor_platform_env()
+    setup_compile_cache()
     maybe_initialize_distributed()
     with open(args.config_file) as f:
         config = TrainingConfig.model_validate(yaml.safe_load(f))
@@ -121,7 +128,11 @@ def main(args):
 
     tokenizer = get_tokenizer(
         config.tokenizer_str, config.trainer.mask_fraction,
-        synthetic_vocab=config.model.decoder_config.vocab_size)
+        synthetic_vocab=config.model.decoder_config.vocab_size,
+        # synthetic data carries no linguistic content, so a missing HF
+        # cache may substitute the synthetic tokenizer; real-data runs must
+        # fail instead of training on meaningless token ids
+        allow_fallback=config.dataset == "synthetic")
     train_dl, val_dl = build_dataloaders(config, tokenizer)
 
     wrapper = ModelTrainerWrapper(
@@ -156,7 +167,7 @@ def main(args):
     from image2text_tpu.training.data import Prefetcher
 
     train_iter, val_iter = Prefetcher(train_dl), Prefetcher(val_dl)
-    for epoch in range(10000):
+    for epoch in range(config.max_loop_epochs or 10000):
         stop = trainer.train_loop(train_iter, epoch,
                                   chkpt_fname=args.chkpt_file)
         if args.resume_dir:
