@@ -200,6 +200,63 @@ def _inputs(batch, sharding):
     return raw, prompt
 
 
+def _bench_beam(cfg, params, dev, data_sharding, flops_analytic):
+    """Fenced beam-search throughput (the reference's flagship generator,
+    generation_utils.py:10-148): beam_width 3, beam_expansion_factor 4,
+    32 new tokens.  Per-caption FLOPs ≈ beam_width × the sampling path's
+    (each beam decodes through the full model; consolidation overhead is
+    measured, not modelled)."""
+    from image2text_tpu.models.generation_utils import BeamSearchTokenGenerator
+    from image2text_tpu.models.vision_encoder_decoder import VisionEncoderDecoder
+
+    from __graft_entry__ import _flagship_config  # noqa: F401 (cfg built)
+
+    model = VisionEncoderDecoder(cfg.model)
+    gen = BeamSearchTokenGenerator(
+        model, beam_width=3, beam_expansion_factor=4,
+        temperature=0.7, top_k=16, max_new_tokens=MAX_NEW_TOKENS,
+        eos_token_id=0,
+        no_repeat_n_grams=tuple(cfg.model.no_repeat_n_grams))
+    im_size = cfg.model.vision_encoder_config.input.width
+
+    def beam_fn(params, raw, prompt, rng):
+        from image2text_tpu.ops.preprocess import resize_normalize_on_device
+
+        images = resize_normalize_on_device(raw, im_size,
+                                            out_dtype=jnp.bfloat16)
+        ids, scores = gen(params, images, prompt, rng=rng)
+        return ids
+
+    beam_j = jax.jit(beam_fn)
+    batch = 8 if SMOKE else 64  # beams multiply memory/computation 3×
+    raw, prompt = _inputs(batch, data_sharding)
+    np.asarray(beam_j(params, raw, prompt, jax.random.PRNGKey(0)))  # warm
+    iters = 2 if SMOKE else 4
+    dts = []
+    for s in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = beam_j(params, raw, prompt,
+                         jax.random.PRNGKey(100 + s * iters + i))
+        np.asarray(out)  # D2H fence
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[1]
+    caps = batch * iters / dt
+    flops = 3 * flops_analytic  # 3 beams decode the full model each
+    peak = chip_peak_flops(dev) * max(1, len(jax.devices()))
+    mfu = caps * flops / peak
+    assert mfu < 1.0, f"beam MFU {mfu:.2f} >= 1: timing fence broken"
+    return {
+        "beam_captions_per_sec": round(caps, 2),
+        "beam_batch": batch,
+        "beam_width": 3,
+        "beam_expansion_factor": 4,
+        "beam_latency_ms": round(dt / iters * 1000.0, 2),
+        "beam_mfu": round(mfu, 4),
+    }
+
+
 def _timed_window(gen_fn, params, raw, prompt, iters, seed):
     """One fenced timing window: iteration i+1 consumes iteration i's
     output (data-dependency chain), and the window closes on a full
@@ -280,9 +337,17 @@ def main():
             f"scaling across {hi // lo}x compute means the window closed "
             f"on dispatch, not device execution")
 
+    # beam-search serving number (fail-soft: the sampling headline must
+    # survive a beam-path failure)
+    try:
+        beam = _bench_beam(cfg, params, dev, data_sharding, flops_analytic)
+    except Exception as e:
+        beam = {"beam_error": f"{type(e).__name__}: {str(e)[:200]}"}
+
     n_chips = max(1, len(jax.devices()))
     target = NORTH_STAR_V5E8 * n_chips / 8.0
     print(json.dumps({
+        **beam,
         "metric": "captions_per_sec",
         "value": round(caps_per_sec, 2),
         "unit": "captions/s",

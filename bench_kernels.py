@@ -37,6 +37,14 @@ from image2text_tpu.ops.flash_attention import _xla_attention, flash_sdpa
 
 EPS = 1e-6  # feedback factor: real data dependency, negligible drift
 
+# Per-timing window budget.  The pooled chip timeshares with other
+# tenants in phases that can be SHORTER than a leisurely measurement —
+# KERNEL_BENCH_TARGET_S shrinks each timing so a whole row (4 timings +
+# 2 bracket probes) fits inside one healthy window.
+import os as _os  # noqa: E402
+
+TARGET_S = float(_os.environ.get("KERNEL_BENCH_TARGET_S", "2.0"))
+
 
 def _run_loop(body, carry0, iters, reps):
     f = jax.jit(lambda c, n=iters: jax.lax.fori_loop(0, n, body, c))
@@ -53,11 +61,13 @@ def _run_loop(body, carry0, iters, reps):
     return min(ts)
 
 
-def device_loop_ms(body, carry0, target_s=2.0, reps=3) -> float:
+def device_loop_ms(body, carry0, target_s=None, reps=3) -> float:
     """Pure device ms per iteration of ``body``: run the op inside an
     on-device fori_loop at two iteration counts auto-scaled so the high
     window's COMPUTE dominates the tunnel's RPC jitter (observed up to
     ~1 s per dispatch), then take the slope."""
+    if target_s is None:
+        target_s = TARGET_S
     probe = _run_loop(body, carry0, 8, 2)
     per = max(probe / 8, 1e-5)
     # quantize to a power of two: repeat runs then reuse the SAME compiled
@@ -92,9 +102,27 @@ def calibration_tflops() -> float:
     return 2 * n ** 3 / ms / 1e9 if ms > 0 else 0.0
 
 
-def bench_attention():
+def quick_calib() -> float:
+    """Cheap (~2 s) sustained-matmul probe used to BRACKET each row: the
+    tunnel degrades in phases shorter than a full sweep, so row validity
+    requires a healthy reading immediately before AND after the row."""
+    n = 2048
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+
+    def body(i, c):
+        a, xx = c
+        return ((a @ xx) * 0.5 + xx * 0.1, xx)
+
+    ms = device_loop_ms(body, (x, x), target_s=0.3, reps=2)
+    return 2 * n ** 3 / ms / 1e9 if ms > 0 else 0.0
+
+
+def attention_specs():
+    """Measurement specs for the attention table: one spec per (seq,
+    metric).  ``flops`` is the causal-adjusted useful work per iteration,
+    used only as a plausibility bound on slopes."""
     B, H, D = 8, 8, 128  # flagship MQA layout (kv heads = 1)
-    rows = []
+    specs = []
     for s in (320, 1024, 2048, 4096):
         k0 = jax.random.PRNGKey(0)
         q = jax.random.normal(k0, (B, H, s, D), jnp.bfloat16)
@@ -102,13 +130,13 @@ def bench_attention():
         v = jax.random.normal(k0, (B, 1, s, D), jnp.bfloat16)
         bias = _causal_bias(s, s)
 
-        def fwd_body(attn_fn):
+        def fwd_body(attn_fn, k=k, v=v):
             def body(i, qq):
                 out = attn_fn(qq, k, v)
                 return qq + EPS * out.astype(qq.dtype)
             return body
 
-        def bwd_body(attn_fn):
+        def bwd_body(attn_fn, k=k, v=v):
             def loss(qq, kk, vv):
                 return jnp.sum(attn_fn(qq, kk, vv).astype(jnp.float32))
             g = jax.grad(loss, argnums=0)
@@ -118,30 +146,17 @@ def bench_attention():
             return body
 
         flash_fn = lambda qq, kk, vv: flash_sdpa(qq, kk, vv, None, True)
-        xla_fn = lambda qq, kk, vv: _xla_attention(qq, kk, vv, bias)
-
-        fwd_flash = device_loop_ms(fwd_body(flash_fn), q)
-        fwd_xla = device_loop_ms(fwd_body(xla_fn), q)
-        bwd_flash = device_loop_ms(bwd_body(flash_fn), q)
-        bwd_xla = device_loop_ms(bwd_body(xla_fn), q)
-        def ratio(a, b):
-            return round(a / b, 2) if a > 0 and b > 0 else None
-
-        rows.append({
-            "seq": s, "batch": B, "heads": H, "head_dim": D,
-            "fwd_xla_ms": round(fwd_xla, 3),
-            "fwd_flash_ms": round(fwd_flash, 3),
-            "fwd_speedup": ratio(fwd_xla, fwd_flash),
-            "fwdbwd_xla_ms": round(bwd_xla, 3),
-            "fwdbwd_flash_ms": round(bwd_flash, 3),
-            "fwdbwd_speedup": ratio(bwd_xla, bwd_flash),
-            "valid": all(t > 0 for t in
-                         (fwd_xla, fwd_flash, bwd_xla, bwd_flash)),
-        })
-        print(f"attention s={s}: fwd xla {fwd_xla:.3f} ms / flash "
-              f"{fwd_flash:.3f} ms; fwd+bwd xla {bwd_xla:.3f} / flash "
-              f"{bwd_flash:.3f}", flush=True)
-    return rows
+        xla_fn = (lambda qq, kk, vv, bias=bias:
+                  _xla_attention(qq, kk, vv, bias))
+        f_fwd = 2.0 * B * H * s * s * D   # causal half of 4*B*H*s^2*D
+        f_bwd = 3.5 * f_fwd
+        specs += [
+            ("attention", s, "fwd_flash_ms", fwd_body(flash_fn), q, f_fwd),
+            ("attention", s, "fwd_xla_ms", fwd_body(xla_fn), q, f_fwd),
+            ("attention", s, "fwdbwd_flash_ms", bwd_body(flash_fn), q, f_bwd),
+            ("attention", s, "fwdbwd_xla_ms", bwd_body(xla_fn), q, f_bwd),
+        ]
+    return specs
 
 
 def _causal_bias(sq, skv):
@@ -150,7 +165,7 @@ def _causal_bias(sq, skv):
     return jnp.where(j <= i + (skv - sq), 0.0, -jnp.inf)[None, None]
 
 
-def bench_int4():
+def int4_specs():
     from image2text_tpu.ops import int4_matmul as int4_mod
     from image2text_tpu.ops.int4_matmul import (
         dequantize_int4,
@@ -160,7 +175,7 @@ def bench_int4():
 
     int4_mod.INT4_KERNEL = "pallas"  # the sweep measures the KERNEL vs XLA
 
-    rows = []
+    specs = []
     # (tokens, in, out): GPT-2-medium c_fc-ish, GPT-2-xl, Llama-7B qkv-ish
     for (n, fin, fout) in ((256, 1024, 4096), (256, 1600, 6400),
                            (512, 4096, 4096)):
@@ -178,28 +193,20 @@ def bench_int4():
                 return xx + (EPS * out.sum()).astype(xx.dtype)
             return body
 
-        t_fused = device_loop_ms(
-            body_of(lambda xx: int4_matmul(xx, packed, scales)), x)
-        t_deq = device_loop_ms(
-            body_of(lambda xx: xx @ dequantize_int4(packed, scales)
-                    .astype(xx.dtype).T), x)
-        t_bf16 = device_loop_ms(body_of(lambda xx: xx @ wb.T), x)
-        def ratio(a, b):
-            return round(a / b, 2) if a > 0 and b > 0 else None
-
-        rows.append({
-            "tokens": n, "in": fin, "out": fout,
-            "pallas_fused_ms": round(t_fused, 4),
-            "xla_dequant_dot_ms": round(t_deq, 4),
-            "bf16_dot_ms": round(t_bf16, 4),
-            "fused_vs_xla_dequant": ratio(t_deq, t_fused),
-            "fused_vs_bf16": ratio(t_bf16, t_fused),
-            "valid": all(t > 0 for t in (t_fused, t_deq, t_bf16)),
-        })
-        print(f"int4 ({n}x{fin}->{fout}): fused {t_fused:.4f} ms, "
-              f"xla dequant+dot {t_deq:.4f} ms, bf16 {t_bf16:.4f} ms",
-              flush=True)
-    return rows
+        flops = 2.0 * n * fin * fout
+        key = (n, fin, fout)
+        specs += [
+            ("int4_matmul", key, "pallas_fused_ms",
+             body_of(lambda xx, p=packed, s_=scales:
+                     int4_matmul(xx, p, s_)), x, flops),
+            ("int4_matmul", key, "xla_dequant_dot_ms",
+             body_of(lambda xx, p=packed, s_=scales:
+                     xx @ dequantize_int4(p, s_).astype(xx.dtype).T),
+             x, flops),
+            ("int4_matmul", key, "bf16_dot_ms",
+             body_of(lambda xx, w_=wb: xx @ w_.T), x, flops),
+        ]
+    return specs
 
 
 def _try(fn, fallback):
@@ -211,27 +218,127 @@ def _try(fn, fallback):
         return fallback
 
 
+# plausibility ceiling: nothing on a v5e legitimately sustains more than
+# ~1.2x the 197 TFLOP/s bf16 peak on these ops — faster slopes are broken
+# windows (observed: a "566 TFLOP/s" calibration during a phase flip)
+_PEAK_TFLOPS = 197.0 * 1.2
+_SUPPORT_RTOL = 0.15  # a metric is resolved when >=2 samples sit within
+_MIN_SUPPORT = 2      # 15% of the plausible minimum
+
+
+def _resolved(samples, flops):
+    """(best_ms, support) over plausible samples; None until resolvable."""
+    floor_ms = flops / (_PEAK_TFLOPS * 1e9)  # faster than peak => garbage
+    ok = [t for t in samples if t > floor_ms]
+    if not ok:
+        return None, 0
+    m = min(ok)
+    support = sum(1 for t in ok if t <= m * (1 + _SUPPORT_RTOL))
+    return m, support
+
+
 def main():
+    import os
+    import time as _time
+
     dev = jax.devices()[0]
-    # best-of-3: tunnel jitter only ever INFLATES wall time, so the
-    # highest calibration reading is the closest to true device capability
-    calib = max(_try(calibration_tflops, 0.0) for _ in range(3))
-    print(f"calibration: {calib:.1f} TFLOP/s sustained on 4096^3 bf16 "
-          f"matmul (slope method)", flush=True)
+    # The pooled chip timeshares with other tenants in phases; any single
+    # window can be slowed arbitrarily, but slowdowns only ever INFLATE a
+    # slope.  So: sample every metric repeatedly across attempts, discard
+    # implausibly-fast slopes (broken windows), and accept a metric once
+    # its minimum is REPRODUCED (>=2 samples within 15%).  The minimum of
+    # plausible samples converges to true device time as soon as two
+    # samples land in healthy windows.
+    wait_min = float(os.environ.get("KERNEL_BENCH_WAIT_MIN", "0"))
+    deadline = _time.time() + wait_min * 60
+    calib = _try(calibration_tflops, 0.0)
+    print(f"initial calibration: {calib:.1f} TFLOP/s (context only)",
+          flush=True)
+
+    specs = attention_specs() + int4_specs()
+    samples = {}   # (section, key, metric) -> [ms, ...]
+    resolved = {}  # (section, key, metric) -> (ms, support)
+    attempt = 0
+    while True:
+        attempt += 1
+        for (section, key, metric, body, carry0, flops) in specs:
+            sid = (section, key, metric)
+            if sid in resolved:
+                continue
+            t = _try(lambda b=body, c=carry0: device_loop_ms(b, c), 0.0)
+            if t > 0:
+                samples.setdefault(sid, []).append(t)
+            m, support = _resolved(samples.get(sid, []), flops)
+            if m is not None and support >= _MIN_SUPPORT:
+                resolved[sid] = (m, support)
+        print(f"attempt {attempt}: {len(resolved)}/{len(specs)} metrics "
+              f"resolved", flush=True)
+        if len(resolved) == len(specs) or _time.time() > deadline:
+            break
+        _time.sleep(10)
+
+    def best(section, key, metric):
+        sid = (section, key, metric)
+        if sid in resolved:
+            return resolved[sid][0], resolved[sid][1], True
+        m, support = _resolved(samples.get(sid, []), dict(
+            (s[:3], s[5]) for s in specs)[sid])
+        return (m if m is not None else 0.0), support, False
+
+    def ratio(a, b):
+        return round(a / b, 2) if a > 0 and b > 0 else None
+
+    attention = []
+    for s in (320, 1024, 2048, 4096):
+        vals = {}
+        valid = True
+        for metric in ("fwd_xla_ms", "fwd_flash_ms", "fwdbwd_xla_ms",
+                       "fwdbwd_flash_ms"):
+            m, support, ok = best("attention", s, metric)
+            vals[metric] = round(m, 3)
+            vals[metric.replace("_ms", "_support")] = support
+            valid &= ok
+        attention.append({
+            "seq": s, "batch": 8, "heads": 8, "head_dim": 128, **vals,
+            "fwd_speedup": ratio(vals["fwd_xla_ms"], vals["fwd_flash_ms"]),
+            "fwdbwd_speedup": ratio(vals["fwdbwd_xla_ms"],
+                                    vals["fwdbwd_flash_ms"]),
+            "valid": valid,
+        })
+    int4 = []
+    for key in ((256, 1024, 4096), (256, 1600, 6400), (512, 4096, 4096)):
+        vals = {}
+        valid = True
+        for metric in ("pallas_fused_ms", "xla_dequant_dot_ms",
+                       "bf16_dot_ms"):
+            m, support, ok = best("int4_matmul", key, metric)
+            vals[metric] = round(m, 4)
+            vals[metric.replace("_ms", "_support")] = support
+            valid &= ok
+        n, fin, fout = key
+        int4.append({
+            "tokens": n, "in": fin, "out": fout, **vals,
+            "fused_vs_xla_dequant": ratio(vals["xla_dequant_dot_ms"],
+                                          vals["pallas_fused_ms"]),
+            "fused_vs_bf16": ratio(vals["bf16_dot_ms"],
+                                   vals["pallas_fused_ms"]),
+            "valid": valid,
+        })
+
+    all_valid = all(r["valid"] for r in attention + int4)
     result = {
         "device_kind": getattr(dev, "device_kind", "?"),
         "platform": str(dev.platform),
         "dtype": "bfloat16",
-        "timing": "on-device fori_loop, two-point iteration slope "
-                  "(dispatch/tunnel overhead cancelled)",
-        "calibration_matmul_tflops": round(calib, 1),
-        "calibration_note": "healthy v5e sustains ~200 here; far lower "
-                            "means tunnel jitter leaked into the slopes "
-                            "during this run and the table is NOT "
-                            "decision-grade",
-        "decision_grade": calib > 100,
-        "attention": _try(bench_attention, []),
-        "int4_matmul": _try(bench_int4, []),
+        "timing": "on-device fori_loop two-point slope; per-metric minimum "
+                  "over repeated attempts, implausibly-fast slopes (>236 "
+                  "TFLOP/s implied) discarded, accepted once the minimum "
+                  "is reproduced by >=2 samples within 15%",
+        "initial_calibration_tflops": round(calib, 1),
+        "attempts": attempt,
+        "decision_grade": all_valid,
+        "attention": attention,
+        "int4_matmul": int4,
     }
     with open("BENCH_KERNELS.json", "w") as f:
         json.dump(result, f, indent=1)

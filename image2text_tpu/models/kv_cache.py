@@ -99,20 +99,28 @@ class CacheRef:
         k_buf, v_buf = self._cache.layers[i]
         idx = self._cache.index[i]
         t = k_new.shape[2]
-        k = jax.lax.dynamic_update_slice_in_dim(
-            k_buf, k_new.astype(k_buf.dtype), idx, axis=2)
-        v = jax.lax.dynamic_update_slice_in_dim(
-            v_buf, v_new.astype(v_buf.dtype), idx, axis=2)
         if write is not None:
             assert t == 1, "gated writes are single-token decode only"
             w = jnp.asarray(write)
-            k = jnp.where(w, k, k_buf)
-            v = jnp.where(w, v, v_buf)
+            # gate the ROW, not the buffer: selecting between the updated
+            # and original full buffers (jnp.where over (b,h,L,d)) costs a
+            # full read+write of the cache per layer per decode step; a
+            # write-disabled step instead writes the slot's EXISTING row
+            # back — one row of traffic, and XLA still updates the loop
+            # carry in place
+            old_k = jax.lax.dynamic_slice_in_dim(k_buf, idx, t, axis=2)
+            old_v = jax.lax.dynamic_slice_in_dim(v_buf, idx, t, axis=2)
+            k_new = jnp.where(w, k_new.astype(k_buf.dtype), old_k)
+            v_new = jnp.where(w, v_new.astype(v_buf.dtype), old_v)
             advance = w.astype(jnp.int32)
             row = idx + advance - 1 + jnp.arange(t)[:, None]
         else:
             advance = jnp.asarray(t, jnp.int32)
             row = idx + jnp.arange(t)[:, None]
+        k = jax.lax.dynamic_update_slice_in_dim(
+            k_buf, k_new.astype(k_buf.dtype), idx, axis=2)
+        v = jax.lax.dynamic_update_slice_in_dim(
+            v_buf, v_new.astype(v_buf.dtype), idx, axis=2)
         self._new_layers[i] = (k, v)
         self._advances[i] = advance
         max_len = k_buf.shape[2]

@@ -32,6 +32,21 @@ import yaml
 sys.path.insert(0, ".")
 
 
+def _hbm_live_bytes(dev):
+    """HBM in use: memory_stats when the plugin exposes it, else summed
+    live buffers from device_memory_profile (pprof protobuf — parse the
+    total lazily, fall back to None)."""
+    stats = dev.memory_stats() or {}
+    if stats.get("bytes_in_use") is not None:
+        return int(stats["bytes_in_use"])
+    try:
+        # total of live buffer sizes on this device — no pprof parsing
+        return int(sum(a.nbytes for a in jax.live_arrays()
+                       if dev in a.devices()))
+    except Exception:
+        return None
+
+
 def main(load_in_4bit: bool):
     import image2text_tpu.models.hf_decoders.factory as factory
 
@@ -92,25 +107,51 @@ def main(load_in_4bit: bool):
     state, metrics = step(state, images, labels, jax.random.PRNGKey(0))
     jax.block_until_ready(metrics)
     stats_step = dict(dev.memory_stats() or {})
+    hbm_live = _hbm_live_bytes(dev)
 
-    t0 = time.perf_counter()
+    # calibration gate (VERDICT r2 #6): the round-2 step_ms numbers were
+    # captured in a degraded-tunnel phase (25ms-to-seconds dispatch); keep
+    # re-timing until a window overlaps a healthy phase or attempts end,
+    # and record the best window + the calibration context
+    from bench_kernels import calibration_tflops
+
     iters = 5
-    for i in range(iters):
-        state, metrics = step(state, images, labels, jax.random.PRNGKey(i))
-    np.asarray(metrics["train_loss_lm"])  # D2H fence
-    dt = (time.perf_counter() - t0) / iters
+    best_dt = float("inf")
+    calib = 0.0
+    for attempt in range(6):
+        c = calibration_tflops()
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(state, images, labels, jax.random.PRNGKey(i))
+        np.asarray(metrics["train_loss_lm"])  # D2H fence
+        dt = (time.perf_counter() - t0) / iters
+        if dt < best_dt:
+            best_dt, calib = dt, c
+        if c > 100:
+            break
+        print(f"attempt {attempt}: calibration {c:.1f} TFLOP/s, "
+              f"step {dt * 1e3:.1f} ms — retrying for a healthy phase",
+              flush=True)
+        time.sleep(20)
+    dt = best_dt
+
+    from image2text_tpu.ops.int4_matmul import INT4_KERNEL
 
     out = {
         "variant": "int4+lora" if load_in_4bit else "bf16-frozen+lora",
         "config": "training_configs/tpu/gpt2-medium.yaml (random init)",
         "batch": b,
         "step_ms": round(dt * 1000, 1),
+        "calibration_tflops": round(calib, 1),
+        "decision_grade": calib > 100,
+        "int4_forward_kernel": INT4_KERNEL if load_in_4bit else None,
         "loss": round(float(metrics["train_loss_lm"]), 4),
         "param_bytes_int": int_bytes,
         "param_bytes_float": float_bytes,
         "quantized_leaves_bf16_equivalent_bytes": bf16_equiv,
         "hbm_bytes_in_use_after_init": stats_init.get("bytes_in_use"),
         "hbm_bytes_in_use_after_step": stats_step.get("bytes_in_use"),
+        "hbm_live_buffer_bytes": hbm_live,
         "hbm_peak_bytes": stats_step.get("peak_bytes_in_use"),
         "device_kind": getattr(dev, "device_kind", "?"),
     }
