@@ -181,9 +181,11 @@ class TransformerDecoder(Decoder):
         return params
 
     # -- decode-time cross-attention K/V precompute --------------------------
-    def precompute_cross_kv(self, p, enc):
+    def precompute_cross_kv(self, p, enc, quant=None):
         """Per-depth split-head cross K/V from the (fixed) encoder output —
-        computed once per generated sequence instead of once per token."""
+        computed once per generated sequence instead of once per token.
+        ``quant='int8'`` stores each depth's K/V quantized (serving mode,
+        see nn.modules.QuantizedKV)."""
         out = {}
         for depth, blk in enumerate(self.blocks):
             use_cross = blk.is_cross_attn and (
@@ -191,7 +193,7 @@ class TransformerDecoder(Decoder):
             if use_cross:
                 bp = p["transformer"]["h"][str(depth)]
                 out[depth] = blk.cross_attn.project_kv(bp["cross_attn"], enc,
-                                                       enc)
+                                                       enc, quant=quant)
         return out
 
     # -- forward -------------------------------------------------------------

@@ -54,11 +54,11 @@ def decoder_step(model, p, tok_ids: jax.Array, cache: KVCache,
     return logits, ref.advanced()
 
 
-def precompute_cross_kv(model, p, cross: Optional[jax.Array]):
+def precompute_cross_kv(model, p, cross: Optional[jax.Array], quant=None):
     """Per-layer cross-attention K/V for decoders that support it."""
     if cross is None or not hasattr(model.decoder, "precompute_cross_kv"):
         return None
-    return model.decoder.precompute_cross_kv(p["decoder"], cross)
+    return model.decoder.precompute_cross_kv(p["decoder"], cross, quant=quant)
 
 
 def _sample_step(model, ids_buf, cur_len, last_logits, rng, temperature,
@@ -78,9 +78,14 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
              nucleus_p: Optional[float] = None,
              rng: Optional[jax.Array] = None, use_flash: bool = True,
              force_no_cache: bool = False,
-             encoder_output: Optional[jax.Array] = None) -> jax.Array:
+             encoder_output: Optional[jax.Array] = None,
+             cross_kv_quant: Optional[str] = None) -> jax.Array:
     """Sample captions; mirrors VisionEncoderDecoder.generate's contract
-    (reference vision_encoder_decoder.py:136-182)."""
+    (reference vision_encoder_decoder.py:136-182).
+
+    ``cross_kv_quant='int8'`` enables the serving-mode quantized
+    cross-attention memory (cached path only; the exact bf16 path is the
+    default — see nn.modules.QuantizedKV)."""
     if prompt_ids.ndim == 1:
         prompt_ids = prompt_ids[None]
     t0 = prompt_ids.shape[-1]
@@ -149,7 +154,7 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
             cache = model.decoder.init_cache(bs, total, encoder_output.dtype)
             logits, cache = decoder_step(model, p, prompt_ids, cache, off,
                                          cross, use_flash)
-        cross_kv = precompute_cross_kv(model, p, cross)
+        cross_kv = precompute_cross_kv(model, p, cross, quant=cross_kv_quant)
 
         def body(i, carry):
             ids_buf, cache, last_logits, rng = carry

@@ -8,7 +8,7 @@ single cast on the inputs; normalisation statistics always run in fp32.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -150,6 +150,34 @@ class Conv2d(Module):
         return y
 
 
+class QuantizedKV(NamedTuple):
+    """Per-position symmetric-int8 K/V with k_q/v_q int8 of shape
+    (..., h, s, d) and scales fp32 (..., h, s).
+
+    Serving-mode cross-attention memory: the decode loop re-reads every
+    layer's cross K/V each step (the dominant HBM term at large batch —
+    ~4 GB/step for the flagship at batch 256), so int8 halves the decode
+    roofline and lets batch-1024 cross-KV fit HBM.  Opt-in via
+    ``generate(..., cross_kv_quant='int8')``; the exact bf16 path stays
+    the default.  (NamedTuple: jax preserves the type through pytree
+    flattening, so the isinstance dispatch survives jit boundaries.)"""
+
+    k_q: jax.Array
+    k_scale: jax.Array
+    v_q: jax.Array
+    v_scale: jax.Array
+
+
+def quantize_rows_int8(t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8: (..., s, d) -> (int8 values, fp32 (..., s)
+    scales) with t ≈ values * scales[..., None]."""
+    scale = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(t.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 class MultiheadAttention(Module):
     """torch.nn.MultiheadAttention-compatible attention (batch_first).
 
@@ -172,10 +200,13 @@ class MultiheadAttention(Module):
         self.add("out_proj", out_proj)
         self.out_proj = out_proj
 
-    def project_kv(self, p, key, value):
+    def project_kv(self, p, key, value, quant: Optional[str] = None):
         """Precompute split-head K/V for a fixed memory (decode-time
         cross-attention: the encoder output never changes, so these
-        projections run once per sequence instead of once per token)."""
+        projections run once per sequence instead of once per token).
+
+        ``quant='int8'`` returns a :class:`QuantizedKV` instead — native
+        int8 MXU dots at decode time read 2 bytes/element less HBM."""
         e = self.embed_dim
         w = p["in_proj_weight"].astype(key.dtype)
         b = p["in_proj_bias"].astype(key.dtype)
@@ -186,7 +217,13 @@ class MultiheadAttention(Module):
             return t.reshape(*t.shape[:-1], self.num_heads,
                              self.head_dim).swapaxes(-3, -2)
 
-        return split_heads(k), split_heads(v)
+        k, v = split_heads(k), split_heads(v)
+        if quant == "int8":
+            kq, ks = quantize_rows_int8(k)
+            vq, vs = quantize_rows_int8(v)
+            return QuantizedKV(kq, ks, vq, vs)
+        assert quant is None, f"unknown cross-KV quant mode {quant!r}"
+        return k, v
 
     def forward(self, p, query, key, value, ctx: Ctx = Ctx(),
                 precomputed_kv=None, **kwargs):
@@ -199,6 +236,30 @@ class MultiheadAttention(Module):
             return t.reshape(*t.shape[:-1], self.num_heads, self.head_dim).swapaxes(-3, -2)
 
         q = split_heads(q)
+        if isinstance(precomputed_kv, QuantizedKV):
+            # int8 serving path: both dots run natively on int8 operands
+            # (the MXU's s8xs8->s32 mode) so only 1-byte K/V rows cross
+            # HBM.  All scales are per-ROW of the contraction's batch dims
+            # — k/v scales per memory position, q/prob scales per query —
+            # so they factor out of the d- and k-sums exactly; the only
+            # approximation is the int8 rounding itself.
+            assert not ctx.train, "quantized cross-KV is decode-only"
+            kq, ks, vq, vs = precomputed_kv
+            qq, qs = quantize_rows_int8(q)
+            scores = jnp.einsum("...hqd,...hkd->...hqk", qq, kq,
+                                preferred_element_type=jnp.int32)
+            scores = scores.astype(jnp.float32) \
+                * (qs[..., :, None] * ks[..., None, :]) \
+                / math.sqrt(self.head_dim)
+            probs = jax.nn.softmax(scores, axis=-1)
+            # fold the per-position V scale into the probabilities BEFORE
+            # quantizing them (it cannot be pulled out of the k-sum)
+            pq, ps = quantize_rows_int8(probs * vs[..., None, :])
+            y = (jnp.einsum("...hqk,...hkd->...hqd", pq, vq,
+                            preferred_element_type=jnp.int32)
+                 .astype(jnp.float32) * ps[..., None]).astype(query.dtype)
+            y = y.swapaxes(-3, -2).reshape(*query.shape[:-1], e)
+            return self.out_proj(p["out_proj"], y)
         if precomputed_kv is not None:
             k, v = precomputed_kv
         else:

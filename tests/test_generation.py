@@ -454,3 +454,40 @@ def test_sparse_fallback_rule_at_current_length():
                            jax.random.PRNGKey(0), 0.0, None, None)
         ids = jnp.concatenate([ids, nxt[:, None]], axis=-1)
     np.testing.assert_array_equal(out, np.asarray(ids))
+
+
+def test_generate_int8_cross_kv_close_to_exact():
+    """Serving-mode int8 cross-KV (nn.modules.QuantizedKV): the quantized
+    decode must (a) run end-to-end under jit, (b) produce per-step logits
+    within int8-rounding tolerance of the exact bf16 path, and (c) agree
+    with exact greedy ids on a decisive model (margins >> quant noise)."""
+    from image2text_tpu.models.generation import precompute_cross_kv
+
+    model, params, img = _model_and_inputs()
+    enc = model.encoder(params["encoder"], img, ctx=EVAL)
+
+    # (b) one cached step, exact vs quantized cross-KV, logits tolerance
+    cache = model.decoder.init_cache(2, 12, jnp.float32)
+    off = model.space_for_prompt
+    ids = jnp.asarray([[1, 2, 3], [4, 5, 6]])
+    exact_kv = precompute_cross_kv(model, params, enc)
+    int8_kv = precompute_cross_kv(model, params, enc, quant="int8")
+    l_exact, _ = decoder_step(model, params, ids, cache, off, enc,
+                              cross_kv=exact_kv)
+    cache2 = model.decoder.init_cache(2, 12, jnp.float32)
+    l_int8, _ = decoder_step(model, params, ids, cache2, off, enc,
+                             cross_kv=int8_kv)
+    err = np.abs(np.asarray(l_int8) - np.asarray(l_exact))
+    scale = np.abs(np.asarray(l_exact)).max()
+    assert err.max() < 0.05 * scale, (err.max(), scale)
+
+    # (a)+(c): jitted greedy generate, both modes, token agreement
+    prompt = jnp.asarray([[1, 2, 3], [4, 5, 6]])
+    g_exact = np.asarray(model.generate(params, img, prompt,
+                                        max_new_tokens=8, temperature=0.0))
+    g_int8 = np.asarray(jax.jit(lambda p, im, pr: model.generate(
+        p, im, pr, max_new_tokens=8, temperature=0.0,
+        cross_kv_quant="int8"))(params, img, prompt))
+    assert g_int8.shape == g_exact.shape
+    agree = (g_int8 == g_exact).mean()
+    assert agree >= 0.75, f"greedy agreement {agree} (quant noise too large)"

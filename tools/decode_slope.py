@@ -1,0 +1,236 @@
+"""Slope-based decode-step attribution on the real chip.
+
+The axon tunnel's dispatch latency is unbounded (observed: seconds), so
+per-dispatch component timing (tools/profile_decode.py) is only valid in
+healthy phases.  This tool instead times ENTIRE compiled fori_loops at two
+iteration counts and takes the slope — dispatch cost cancels exactly, and
+only on-device degradation (timeshared chip) can inflate a sample, so the
+minimum over repeated attempts converges to true device time (same
+methodology as bench_kernels.py).
+
+Variants decompose the flagship decode step:
+
+* ``full``        — generate's loop body: sample + decoder step
+* ``decode``      — decoder step only (greedy argmax feed)
+* ``decode_nox``  — decoder step without cross-attention (isolates the
+                    cross-K/V read, the decode step's dominant HBM term)
+* ``sample``      — _sample_step only (ngram bias + top-k + categorical)
+
+Prints a JSON object with per-variant ms/step plus the roofline terms:
+cross-K/V bytes, weight bytes, and the implied HBM-bound floor.
+
+Usage: python tools/decode_slope.py [batch]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+sys.path.insert(0, ".")
+
+from image2text_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache("jaxcache-decode")
+import jax.numpy as jnp
+
+MAX_STEPS_LO, MAX_STEPS_HI = 8, 40
+V5E_HBM_GBS = 819.0
+
+
+def fenced_s(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    return time.perf_counter() - t0
+
+
+def slope_ms(fn_lo, fn_hi, args, attempts=4):
+    """min over attempts of (t_hi - t_lo) / (HI - LO) in ms."""
+    best = float("inf")
+    for _ in range(attempts):
+        lo = fenced_s(fn_lo, *args)
+        hi = fenced_s(fn_hi, *args)
+        if hi > lo:
+            best = min(best, (hi - lo) / (MAX_STEPS_HI - MAX_STEPS_LO) * 1e3)
+    return best
+
+
+def main(batch: int):
+    from bench_kernels import quick_calib
+
+    from __graft_entry__ import _flagship_config
+    from image2text_tpu.models.generation import (
+        EVAL,
+        _sample_step,
+        decoder_step,
+        precompute_cross_kv,
+    )
+    from image2text_tpu.models.vision_encoder_decoder import VisionEncoderDecoder
+    from image2text_tpu.ops.preprocess import resize_normalize_on_device
+
+    cfg = _flagship_config(tiny=False)
+    model = VisionEncoderDecoder(cfg.model)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        model.init(jax.random.PRNGKey(0)))
+
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.integers(0, 256, (batch, 160, 240, 3)), jnp.uint8)
+    prompt = jnp.ones((batch, 1), jnp.int32)
+    im_size = cfg.model.vision_encoder_config.input.width
+    images = jax.jit(lambda r: resize_normalize_on_device(
+        r, im_size, out_dtype=jnp.bfloat16))(raw)
+    enc_out = jax.jit(lambda p, im: model.encoder(p["encoder"], im,
+                                                  ctx=EVAL))(params, images)
+
+    off = model.space_for_prompt
+    total = 1 + MAX_STEPS_HI
+    vocab = cfg.model.decoder_config.vocab_size
+
+    def gen_n(n):
+        return jax.jit(lambda p, im, pr, r: model.generate(
+            p, im, pr, max_new_tokens=n, temperature=0.7, top_k=16, rng=r))
+
+    def decode_loop(n, use_cross, quant=None):
+        def fn(p, enc_out):
+            cross = enc_out if use_cross else None
+            cache = model.decoder.init_cache(batch, total, enc_out.dtype)
+            logits, cache = decoder_step(model, p, prompt, cache, off, cross)
+            cross_kv = precompute_cross_kv(model, p, cross, quant=quant)
+
+            def body(i, carry):
+                cache, last = carry
+                nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)[:, None]
+                logits, cache = decoder_step(model, p, nxt, cache,
+                                             off + 1 + i, cross,
+                                             cross_kv=cross_kv)
+                return cache, logits[:, -1]
+
+            _, last = jax.lax.fori_loop(0, n, body, (cache, logits[:, -1]))
+            return last
+
+        return jax.jit(fn)
+
+    def sample_loop(n):
+        def fn(last, r):
+            ids_buf = jnp.zeros((batch, total), jnp.int32)
+
+            def body(i, carry):
+                ids_buf, last, r = carry
+                r, key = jax.random.split(r)
+                nxt = _sample_step(model, ids_buf, 1 + i, last, key, 0.7,
+                                   16, None)
+                ids_buf = jax.lax.dynamic_update_slice(
+                    ids_buf, nxt[:, None], (0, 1 + i))
+                # data dependency: fold the sampled ids back into the logits
+                last = last + 1e-6 * jax.nn.one_hot(nxt, vocab)
+                return ids_buf, last, r
+
+            _, last, _ = jax.lax.fori_loop(
+                0, n, body, (ids_buf, last, jax.random.PRNGKey(0)))
+            return last
+
+        return jax.jit(fn)
+
+    last0 = jnp.asarray(rng.standard_normal((batch, vocab)), jnp.float32)
+    variants = {
+        "full": (gen_n(MAX_STEPS_LO), gen_n(MAX_STEPS_HI),
+                 (params, images, prompt, jax.random.PRNGKey(0))),
+        "decode": (decode_loop(MAX_STEPS_LO, True),
+                   decode_loop(MAX_STEPS_HI, True), (params, enc_out)),
+        "decode_nox": (decode_loop(MAX_STEPS_LO, False),
+                       decode_loop(MAX_STEPS_HI, False), (params, enc_out)),
+        "decode_int8kv": (decode_loop(MAX_STEPS_LO, True, "int8"),
+                          decode_loop(MAX_STEPS_HI, True, "int8"),
+                          (params, enc_out)),
+        "sample": (sample_loop(MAX_STEPS_LO), sample_loop(MAX_STEPS_HI),
+                   (last0, jax.random.PRNGKey(0))),
+    }
+
+    # warm every compiled program once (off the clock)
+    for lo, hi, args in variants.values():
+        jax.block_until_ready(lo(*args))
+        jax.block_until_ready(hi(*args))
+
+    # loop until one attempt lands in a healthy phase: calibration >100
+    # TFLOP/s both before and after, and the decomposition is self-
+    # consistent (a degraded window produced decode > full in testing)
+    deadline = time.time() + float(os.environ.get("DECODE_SLOPE_WAIT_MIN",
+                                                  "45")) * 60
+    best = None
+    attempt = 0
+    while True:
+        attempt += 1
+        c0 = quick_calib()
+        out = {"batch": batch, "calib_before_tflops": round(c0, 1)}
+        if c0 > 100:
+            for name, (lo, hi, args) in variants.items():
+                ms = slope_ms(lo, hi, args, attempts=2)
+                out[f"{name}_ms_per_step"] = round(ms, 3)
+            c1 = quick_calib()
+            out["calib_after_tflops"] = round(c1, 1)
+            sane = (out["decode_ms_per_step"] <= out["full_ms_per_step"] * 1.1
+                    and out["decode_nox_ms_per_step"]
+                    <= out["decode_ms_per_step"] * 1.1)
+            out["healthy"] = c0 > 100 and c1 > 100 and sane
+            if best is None or (out["healthy"] and not best.get("healthy")) \
+                    or (out["healthy"] == best.get("healthy")
+                        and out["full_ms_per_step"]
+                        < best.get("full_ms_per_step", 1e9)):
+                best = out
+            print(f"attempt {attempt}: calib {c0:.0f}->{c1:.0f}, "
+                  f"full {out['full_ms_per_step']} ms/step, "
+                  f"healthy={out['healthy']}", flush=True)
+            if out["healthy"]:
+                break
+        else:
+            print(f"attempt {attempt}: calib {c0:.0f} TFLOP/s — degraded, "
+                  f"waiting", flush=True)
+        if time.time() > deadline:
+            break
+        time.sleep(30)
+    out = best or out
+
+    # roofline terms (per decode step)
+    dec = cfg.model.decoder_config
+    d = dec.transformer_config.attn_config.n_embd
+    n_layer = dec.n_layer
+    n_head = dec.transformer_config.attn_config.n_head
+    enc_cfg = cfg.model.vision_encoder_config
+    mem_len = enc_cfg.num_patches ** 2 + enc_cfg.n_cls
+    cross_kv_bytes = 2 * batch * mem_len * d * 2 * n_layer  # k+v bf16
+    # decode-path weights: MQA qkv/out + cross q/out + low-rank MoE + head
+    hd = d // n_head
+    w_attn = d * d + 2 * d * hd + d * d
+    w_cross = 2 * d * d
+    moe = dec.transformer_config.rotator_config
+    w_moe = 2 * (moe.num_experts * moe.proj_features
+                 * (d + 4 * d + moe.proj_features))
+    w_head = d * vocab
+    weight_bytes = 2 * (n_layer * (w_attn + w_cross + w_moe) + w_head)
+    # sampling traffic: (B,V) fp32 logits read/written a handful of times
+    sample_bytes = 4 * batch * vocab * 6
+    floor_ms = (cross_kv_bytes + weight_bytes) / (V5E_HBM_GBS * 1e6)
+    out.update({
+        "cross_kv_gb": round(cross_kv_bytes / 1e9, 3),
+        "weight_mb": round(weight_bytes / 1e6, 1),
+        "sample_traffic_mb_est": round(sample_bytes / 1e6, 1),
+        "decode_hbm_floor_ms": round(floor_ms, 3),
+        "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+    })
+    print(json.dumps(out))
+    with open("PROFILE_DECODE_SLOPE.json", "a") as f:
+        f.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
