@@ -121,6 +121,24 @@ def main():
     from image2text_tpu.parallel.mesh import honor_platform_env
 
     honor_platform_env()
+
+    # calibration gate (same policy as bench_kernels.py): the axon tunnel
+    # degrades phase-like; wait for a window where a sustained matmul runs
+    # at a healthy fraction of peak before measuring, and record the
+    # before/after calibration so the artifact is self-auditing
+    calib0 = None
+    if jax.devices()[0].platform == "tpu":
+        from bench_kernels import quick_calib
+        deadline = time.time() + float(
+            os.environ.get("BENCH_TRAIN_WAIT_MIN", "0")) * 60
+        while True:
+            calib0 = quick_calib()
+            if calib0 > 100 or time.time() > deadline:
+                break
+            print(f"# calib {calib0:.0f} TFLOP/s — degraded, waiting",
+                  flush=True)
+            time.sleep(30)
+
     cfg, state, step_fn = _build()
     rng = jax.random.PRNGKey(0)
 
@@ -186,7 +204,14 @@ def main():
             f"batch-{lo} step ({per_batch[lo]:.2f} ms): flat scaling across "
             f"{hi // lo}x compute means the window closed on dispatch")
 
+    calib1 = None
+    if jax.devices()[0].platform == "tpu":
+        from bench_kernels import quick_calib
+        calib1 = quick_calib()
+
     print(json.dumps({
+        "calibration_tflops_before": round(calib0, 1) if calib0 else calib0,
+        "calibration_tflops_after": round(calib1, 1) if calib1 else calib1,
         "metric": "train_tokens_per_sec",
         "value": round(tok_per_sec),
         "unit": "tokens/s",

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from image2text_tpu.nn.core import Ctx, EVAL_CTX
 from image2text_tpu.models.kv_cache import CacheRef, KVCache
-from image2text_tpu.models.sampling import no_repeat_ngram_bias, sample_logits
+from image2text_tpu.models.sampling import apply_no_repeat_ngram, sample_logits
 
 EVAL = EVAL_CTX  # single shared eval context (nn.core)
 
@@ -63,10 +63,8 @@ def precompute_cross_kv(model, p, cross: Optional[jax.Array], quant=None):
 
 def _sample_step(model, ids_buf, cur_len, last_logits, rng, temperature,
                  top_k, nucleus_p):
-    vocab = last_logits.shape[-1]
-    bias = no_repeat_ngram_bias(ids_buf, cur_len, vocab,
-                                model.no_repeat_n_grams)
-    logits = last_logits.astype(jnp.float32) + bias
+    logits = apply_no_repeat_ngram(last_logits.astype(jnp.float32), ids_buf,
+                                   cur_len, model.no_repeat_n_grams)
     if temperature is None or temperature <= 0:
         return jnp.argmax(logits, axis=-1).astype(ids_buf.dtype)
     return sample_logits(logits, rng, temperature, top_k,

@@ -37,9 +37,9 @@ import jax.numpy as jnp
 from image2text_tpu.nn.core import Ctx, EVAL_CTX
 from image2text_tpu.models.generation import decoder_step, precompute_cross_kv
 from image2text_tpu.models.sampling import (
+    apply_no_repeat_ngram,
     apply_top_k,
     gumbel_topk_sample,
-    no_repeat_ngram_bias,
 )
 
 EVAL = EVAL_CTX  # single shared eval context (nn.core)
@@ -52,7 +52,8 @@ class BeamSearchTokenGenerator:
                  beam_expansion_factor: int = 4,
                  eos_token_id: Optional[int] = None,
                  consolidation_temperature: float = 1.0,
-                 length_boost: float = 1.0):
+                 length_boost: float = 1.0,
+                 cross_kv_quant: Optional[str] = None):
         self.model = model
         self.beam_width = beam_width
         self.beam_expansion_factor = beam_expansion_factor
@@ -63,14 +64,18 @@ class BeamSearchTokenGenerator:
         self.eos_token_id = eos_token_id
         self.length_boost = math.log(length_boost)
         self.no_repeat_n_grams = tuple(no_repeat_n_grams)
+        # serving-mode int8 cross-KV (see nn.modules.QuantizedKV): beams
+        # tile the encoder memory beam_width×, so the per-step cross-K/V
+        # re-read — the decode loop's dominant HBM term — scales with bw
+        # and the 2× byte cut matters even more here
+        self.cross_kv_quant = cross_kv_quant
 
     # -- per-round candidate scoring (reference decode_next, :57-93) --------
     def _candidates(self, last_logits, ids_flat, cur_len, rng):
         bef = self.beam_expansion_factor
-        vocab = last_logits.shape[-1]
-        scores = last_logits.astype(jnp.float32)
-        scores = scores + no_repeat_ngram_bias(ids_flat, cur_len, vocab,
-                                               self.no_repeat_n_grams)
+        scores = apply_no_repeat_ngram(last_logits.astype(jnp.float32),
+                                       ids_flat, cur_len,
+                                       self.no_repeat_n_grams)
         scores = apply_top_k(scores, self.top_k)
         if self.temperature <= 0:
             prob = jax.nn.log_softmax(scores, axis=-1)
@@ -165,7 +170,8 @@ class BeamSearchTokenGenerator:
                     model, p, ids.reshape(bw * bs, t0), cache, off, cross,
                     use_flash)
             last_logits = logits[:, -1]
-            cross_kv = precompute_cross_kv(model, p, cross)
+            cross_kv = precompute_cross_kv(model, p, cross,
+                                           quant=self.cross_kv_quant)
         else:
             cache = None
             cross_kv = None

@@ -28,28 +28,25 @@ import jax.numpy as jnp
 NEG_INF = -jnp.inf
 
 
-def no_repeat_ngram_bias(ids_buf: jax.Array, cur_len: jax.Array,
-                         vocab_size: int,
-                         ngram_sizes: Sequence[int]) -> jax.Array:
-    """Additive bias (B, V): -inf on tokens banned by the n-gram rules.
+def _ngram_bans(ids_buf: jax.Array, cur_len: jax.Array,
+                ngram_sizes: Sequence[int]):
+    """(candidates, banned): next-token id candidates (B, M) and which of
+    them the n-gram rules actually ban (B, M) bool; M is static.
 
-    ids_buf: (B, L) fixed-size buffer whose first ``cur_len`` entries are the
-    sequence so far.  For each n, a token x is banned when the last (n-1)
-    tokens followed by x already occur as a window ids[j : j+n] with
-    j + n <= cur_len (HF semantics: windows fully inside the sequence).
-    """
+    For each n, a token x is banned when the last (n-1) tokens followed by
+    x already occur as a window ids[j : j+n] with j + n <= cur_len (HF
+    semantics: windows fully inside the sequence)."""
     b, l = ids_buf.shape
-    banned_all = []
-    pen_all = []
+    cand_all = []
+    ban_all = []
     for n in ngram_sizes:
         if n < 1 or l < n:
             continue
         if n == 1:
             # every seen token is banned
             seen = jnp.arange(l)[None, :] < cur_len
-            banned_all.append(ids_buf)
-            pen_all.append(jnp.broadcast_to(jnp.where(seen, NEG_INF, 0.0),
-                                            ids_buf.shape))
+            cand_all.append(ids_buf)
+            ban_all.append(jnp.broadcast_to(seen, ids_buf.shape))
             continue
         # suffix: last n-1 tokens → positions [cur_len-n+1, cur_len-1]
         suf_pos = cur_len - (n - 1) + jnp.arange(n - 1)          # (n-1,)
@@ -65,17 +62,48 @@ def no_repeat_ngram_bias(ids_buf: jax.Array, cur_len: jax.Array,
         # HF only bans once the suffix itself exists (cur_len >= n-1 ... and
         # a full window fits: cur_len >= n)
         match = match & valid[None, :] & (cur_len >= n)
-        banned_all.append(
+        cand_all.append(
             ids_buf[:, jnp.minimum(jnp.arange(l) + (n - 1), l - 1)])  # (B, L)
-        pen_all.append(jnp.where(match, NEG_INF, 0.0))
+        ban_all.append(match)
+    if not cand_all:
+        return None, None
+    return (jnp.concatenate(cand_all, axis=-1),
+            jnp.concatenate(ban_all, axis=-1))
+
+
+def apply_no_repeat_ngram(logits: jax.Array, ids_buf: jax.Array,
+                          cur_len: jax.Array,
+                          ngram_sizes: Sequence[int]) -> jax.Array:
+    """Set banned tokens' logits to -inf — ONE scatter-min straight into
+    the logits.  Equivalent to ``logits + no_repeat_ngram_bias(...)`` (an
+    additive -inf IS a set to -inf) without materialising and re-reading a
+    dense (B, V) fp32 bias: at serving batch sizes the bias round-trip is
+    ~150 MB of HBM traffic per decode step."""
+    cand, ban = _ngram_bans(ids_buf, cur_len, ngram_sizes)
+    if cand is None:
+        return logits
+    b = logits.shape[0]
+    v = logits.shape[-1]
+    # un-banned candidates scatter out of bounds and are dropped
+    idx = jnp.where(ban, cand, v)
+    return logits.at[jnp.arange(b)[:, None], idx].min(NEG_INF, mode="drop")
+
+
+def no_repeat_ngram_bias(ids_buf: jax.Array, cur_len: jax.Array,
+                         vocab_size: int,
+                         ngram_sizes: Sequence[int]) -> jax.Array:
+    """Additive bias (B, V): -inf on tokens banned by the n-gram rules.
+
+    Dense form of :func:`apply_no_repeat_ngram` (which the decode loops
+    use — it skips this array's round-trip); kept for callers that need
+    the bias itself."""
+    b, l = ids_buf.shape
     bias = jnp.zeros((b, vocab_size), jnp.float32)
-    if not banned_all:
+    cand, ban = _ngram_bans(ids_buf, cur_len, ngram_sizes)
+    if cand is None:
         return bias
-    # ONE scatter-min over the concatenated (banned, penalty) lists — a
-    # decode step touches a single (B, V) array instead of one per n
-    banned = jnp.concatenate(banned_all, axis=-1)
-    pen = jnp.concatenate(pen_all, axis=-1)
-    return bias.at[jnp.arange(b)[:, None], banned].min(pen)
+    pen = jnp.where(ban, NEG_INF, 0.0)
+    return bias.at[jnp.arange(b)[:, None], cand].min(pen)
 
 
 def chunked_top_k(logits: jax.Array, k: int,
@@ -176,6 +204,19 @@ def sample_logits(logits: jax.Array, rng: jax.Array, temperature: float = 1.0,
                   nucleus_p: Optional[float] = None) -> jax.Array:
     """The generate() sampling pipeline on final-step logits (B, V)."""
     logits = logits.astype(jnp.float32) / temperature
+    if top_k is not None and nucleus_p is None:
+        # top-k-only fast path: sample among the k winners directly —
+        # softmax over the gathered values IS the top-k-truncated
+        # distribution, so this skips the dense re-mask + full-vocab
+        # categorical (two more (B, V) fp32 round-trips per decode step).
+        # Semantics differ from the reference's threshold mask
+        # (vision_encoder_decoder.py:155-157) only on EXACT float ties at
+        # the kth value (the mask keeps all tied tokens, top-k keeps
+        # exactly k) — measure-zero for continuous logits.
+        k = min(top_k, logits.shape[-1])
+        vals, idx = chunked_top_k(logits, k)
+        choice = jax.random.categorical(rng, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
     # apply_top_k masks via the chunked kth-value threshold: no full-vocab
     # sort (the round-1 serving bottleneck), and ties at the kth value stay
     # IN the distribution — exactly the reference's `logits < v[:, [-1]]`

@@ -354,6 +354,42 @@ def test_nucleus_large_vocab_fast_path_exact():
     assert (ids_flat >= 0).all() and (ids_flat < 50258).all()
 
 
+def test_apply_ngram_equals_dense_bias():
+    """The scatter-apply path (what the decode loops run) must equal
+    logits + dense bias for every cur_len and random id pattern."""
+    from image2text_tpu.models.sampling import (
+        apply_no_repeat_ngram,
+        no_repeat_ngram_bias,
+    )
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 9, (3, 12)))
+    logits = jnp.asarray(rng.standard_normal((3, 10)), jnp.float32)
+    for sizes in [(2, 3), (1,), (1, 2, 4), ()]:
+        for cur in range(1, 12):
+            dense = np.asarray(
+                logits + no_repeat_ngram_bias(ids, jnp.asarray(cur), 10,
+                                              sizes))
+            fused = np.asarray(
+                apply_no_repeat_ngram(logits, ids, jnp.asarray(cur), sizes))
+            np.testing.assert_array_equal(fused, dense, err_msg=f"{sizes}@{cur}")
+
+
+def test_sample_logits_topk_fast_path_in_topk_set():
+    """The top-k-only fast path must sample inside the top-k set and hit
+    every top-k member with roughly softmax frequency."""
+    from image2text_tpu.models.sampling import sample_logits
+
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((4, 5000)), jnp.float32)
+    ref_idx = np.asarray(jax.lax.top_k(logits, 8)[1])
+    draws = np.stack([np.asarray(sample_logits(
+        logits, jax.random.PRNGKey(s), temperature=1.0, top_k=8))
+        for s in range(64)])                     # (64, 4)
+    for b in range(4):
+        assert set(draws[:, b]) <= set(ref_idx[b]), (b, set(draws[:, b]))
+
+
 def test_ngram_bias_mixed_sizes_batched():
     """Regression: n=1 mixed with n>=2 at batch > 1 (the single-scatter
     rewrite must broadcast the unigram penalty to the full batch)."""
@@ -454,6 +490,25 @@ def test_sparse_fallback_rule_at_current_length():
                            jax.random.PRNGKey(0), 0.0, None, None)
         ids = jnp.concatenate([ids, nxt[:, None]], axis=-1)
     np.testing.assert_array_equal(out, np.asarray(ids))
+
+
+def test_beam_search_int8_cross_kv_matches_exact_greedy():
+    """Deterministic beam (temp 0, consolidation 0) with int8 cross-KV
+    must match the exact path's beams on a decisive model."""
+    model, params, img = _model_and_inputs()
+    kw = dict(beam_width=2, temperature=0.0, max_new_tokens=5,
+              beam_expansion_factor=3, consolidation_temperature=0.0)
+    prompt = jnp.asarray([[1], [2]])
+    ids, scores = BeamSearchTokenGenerator(model, **kw)(params, img, prompt)
+    ids8, scores8 = jax.jit(
+        lambda p, im, pr: BeamSearchTokenGenerator(
+            model, cross_kv_quant="int8", **kw)(p, im, pr))(
+        params, img, prompt)
+    assert ids8.shape == ids.shape
+    agree = (np.asarray(ids8) == np.asarray(ids)).mean()
+    assert agree >= 0.75, f"beam int8 agreement {agree}"
+    np.testing.assert_allclose(np.asarray(scores8), np.asarray(scores),
+                               rtol=0.1, atol=0.1)
 
 
 def test_generate_int8_cross_kv_close_to_exact():

@@ -205,8 +205,10 @@ def main(batch: int):
     d = dec.transformer_config.attn_config.n_embd
     n_layer = dec.n_layer
     n_head = dec.transformer_config.attn_config.n_head
-    enc_cfg = cfg.model.vision_encoder_config
-    mem_len = enc_cfg.num_patches ** 2 + enc_cfg.n_cls
+    # cross-attention memory = the ENCODER OUTPUT: n_cls CLS tokens only
+    # (models/encoder.py returns x[:, :n_cls]; patch tokens never leave
+    # the encoder), NOT the encoder's internal 320-token sequence
+    mem_len = cfg.model.vision_encoder_config.n_cls
     cross_kv_bytes = 2 * batch * mem_len * d * 2 * n_layer  # k+v bf16
     # decode-path weights: MQA qkv/out + cross q/out + low-rank MoE + head
     hd = d // n_head
