@@ -280,6 +280,24 @@ def main():
     from image2text_tpu.parallel.mesh import honor_platform_env
 
     honor_platform_env()
+
+    # calibration gate (same policy as bench_kernels/bench_train): the
+    # pooled chip degrades in phases; wait up to BENCH_WAIT_MIN for a
+    # window where a sustained matmul runs healthy before measuring, and
+    # record before/after calibration so the artifact is self-auditing
+    calib0 = None
+    if jax.devices()[0].platform == "tpu" and not SMOKE:
+        from bench_kernels import quick_calib
+        deadline = time.time() + float(
+            os.environ.get("BENCH_WAIT_MIN", "12")) * 60
+        while True:
+            calib0 = quick_calib()
+            if calib0 > 100 or time.time() > deadline:
+                break
+            print(f"# calib {calib0:.0f} TFLOP/s — degraded, waiting",
+                  flush=True)
+            time.sleep(30)
+
     cfg, params, gen_fn, gen_int8, dev, data_sharding = _build()
 
     flops_analytic = analytic_flops_per_caption(cfg, MAX_NEW_TOKENS,
@@ -380,11 +398,18 @@ def main():
     except Exception as e:
         beam = {"beam_error": f"{type(e).__name__}: {str(e)[:200]}"}
 
+    calib1 = None
+    if dev.platform == "tpu" and not SMOKE:
+        from bench_kernels import quick_calib
+        calib1 = quick_calib()
+
     n_chips = max(1, len(jax.devices()))
     target = NORTH_STAR_V5E8 * n_chips / 8.0
     print(json.dumps({
         **beam,
         **int8_res,
+        "calibration_tflops_before": round(calib0, 1) if calib0 else calib0,
+        "calibration_tflops_after": round(calib1, 1) if calib1 else calib1,
         "metric": "captions_per_sec",
         "value": round(caps_per_sec, 2),
         "unit": "captions/s",

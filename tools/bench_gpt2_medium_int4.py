@@ -115,10 +115,16 @@ def main(load_in_4bit: bool):
     # and record the best window + the calibration context
     from bench_kernels import calibration_tflops
 
+    import os
+
     iters = 5
     best_dt = float("inf")
     calib = 0.0
-    for attempt in range(6):
+    deadline = time.time() + float(
+        os.environ.get("GPT2M_WAIT_MIN", "2")) * 60
+    attempt = 0
+    while True:
+        attempt += 1
         c = calibration_tflops()
         t0 = time.perf_counter()
         for i in range(iters):
@@ -127,7 +133,7 @@ def main(load_in_4bit: bool):
         dt = (time.perf_counter() - t0) / iters
         if dt < best_dt:
             best_dt, calib = dt, c
-        if c > 100:
+        if c > 100 or time.time() > deadline:
             break
         print(f"attempt {attempt}: calibration {c:.1f} TFLOP/s, "
               f"step {dt * 1e3:.1f} ms — retrying for a healthy phase",
