@@ -237,45 +237,93 @@ def _resolved(samples, flops):
     return m, support
 
 
+_CALIB_MIN = 100.0  # TFLOP/s; healthy v5e sustains ~200 on the probe
+_SAMPLES_PATH = ".kernel_samples.json"  # repo-local, survives across runs
+
+
+def _load_samples():
+    import os
+    if not os.path.exists(_SAMPLES_PATH):
+        return {}
+    try:
+        with open(_SAMPLES_PATH) as f:
+            raw = json.load(f)
+        return {tuple(eval(k)): v for k, v in raw.items()}  # keys we wrote
+    except Exception:
+        return {}
+
+
+def _save_samples(samples):
+    with open(_SAMPLES_PATH, "w") as f:
+        json.dump({repr(k): v for k, v in samples.items()}, f)
+
+
 def main():
     import os
     import time as _time
 
     dev = jax.devices()[0]
     # The pooled chip timeshares with other tenants in phases; any single
-    # window can be slowed arbitrarily, but slowdowns only ever INFLATE a
-    # slope.  So: sample every metric repeatedly across attempts, discard
-    # implausibly-fast slopes (broken windows), and accept a metric once
-    # its minimum is REPRODUCED (>=2 samples within 15%).  The minimum of
-    # plausible samples converges to true device time as soon as two
-    # samples land in healthy windows.
+    # window can be slowed arbitrarily.  Policy (VERDICT r2 item 3):
+    # measure ONLY inside calibration-bracketed windows — a quick sustained
+    # -matmul probe must read >= _CALIB_MIN TFLOP/s immediately before AND
+    # after each chunk of metrics, otherwise the chunk's samples are
+    # discarded.  On top of that, a metric is accepted only once its
+    # minimum is REPRODUCED (>=2 healthy-window samples within 15%).
+    # Samples persist in .kernel_samples.json so interrupted runs resume.
     wait_min = float(os.environ.get("KERNEL_BENCH_WAIT_MIN", "0"))
     deadline = _time.time() + wait_min * 60
-    calib = _try(calibration_tflops, 0.0)
+    calib = _try(quick_calib, 0.0)
     print(f"initial calibration: {calib:.1f} TFLOP/s (context only)",
           flush=True)
 
     specs = attention_specs() + int4_specs()
-    samples = {}   # (section, key, metric) -> [ms, ...]
+    samples = _load_samples()   # (section, key, metric) -> [ms, ...]
     resolved = {}  # (section, key, metric) -> (ms, support)
-    attempt = 0
-    while True:
-        attempt += 1
-        for (section, key, metric, body, carry0, flops) in specs:
+
+    def _resolve_all():
+        for (section, key, metric, _b, _c, flops) in specs:
             sid = (section, key, metric)
             if sid in resolved:
                 continue
-            t = _try(lambda b=body, c=carry0: device_loop_ms(b, c), 0.0)
-            if t > 0:
-                samples.setdefault(sid, []).append(t)
             m, support = _resolved(samples.get(sid, []), flops)
             if m is not None and support >= _MIN_SUPPORT:
                 resolved[sid] = (m, support)
+
+    _resolve_all()
+    if resolved:
+        print(f"resumed: {len(resolved)}/{len(specs)} metrics already "
+              f"resolved from persisted healthy-window samples", flush=True)
+    attempt = 0
+    chunk_n = 3
+    while len(resolved) < len(specs) and _time.time() <= deadline:
+        attempt += 1
+        c0 = _try(quick_calib, 0.0)
+        if c0 < _CALIB_MIN:
+            print(f"attempt {attempt}: calib {c0:.0f} TFLOP/s — degraded, "
+                  f"waiting", flush=True)
+            _time.sleep(20)
+            continue
+        todo = [s for s in specs if (s[0], s[1], s[2]) not in resolved]
+        for i in range(0, len(todo), chunk_n):
+            chunk = todo[i:i + chunk_n]
+            pending = []
+            for (section, key, metric, body, carry0, flops) in chunk:
+                t = _try(lambda b=body, c=carry0: device_loop_ms(b, c), 0.0)
+                if t > 0:
+                    pending.append(((section, key, metric), t))
+            c1 = _try(quick_calib, 0.0)
+            if c1 >= _CALIB_MIN:  # bracket holds: the chunk ran healthy
+                for sid, t in pending:
+                    samples.setdefault(sid, []).append(t)
+                _save_samples(samples)
+            else:
+                print(f"attempt {attempt}: post-chunk calib {c1:.0f} "
+                      f"TFLOP/s — chunk discarded", flush=True)
+                break  # phase flipped; back to the waiting loop
+        _resolve_all()
         print(f"attempt {attempt}: {len(resolved)}/{len(specs)} metrics "
               f"resolved", flush=True)
-        if len(resolved) == len(specs) or _time.time() > deadline:
-            break
-        _time.sleep(10)
 
     def best(section, key, metric):
         sid = (section, key, metric)
@@ -330,10 +378,13 @@ def main():
         "device_kind": getattr(dev, "device_kind", "?"),
         "platform": str(dev.platform),
         "dtype": "bfloat16",
-        "timing": "on-device fori_loop two-point slope; per-metric minimum "
-                  "over repeated attempts, implausibly-fast slopes (>236 "
-                  "TFLOP/s implied) discarded, accepted once the minimum "
-                  "is reproduced by >=2 samples within 15%",
+        "timing": "on-device fori_loop two-point slope; samples taken only "
+                  "inside calibration-bracketed windows (sustained-matmul "
+                  "probe >=100 TFLOP/s before AND after each chunk), "
+                  "implausibly-fast slopes (>236 TFLOP/s implied) "
+                  "discarded, accepted once the minimum is reproduced by "
+                  ">=2 healthy-window samples within 15%",
+        "calibration_gate_tflops": _CALIB_MIN,
         "initial_calibration_tflops": round(calib, 1),
         "attempts": attempt,
         "decision_grade": all_valid,
