@@ -153,12 +153,15 @@ class GPT2HuggingfaceDecoder(HuggingfaceDecoder):
                                cross_kv=cross_kv)
         return self._logits(p, hidden), hidden
 
-    def precompute_cross_kv(self, p, enc):
-        """Per-depth cross K/V from the fixed encoder output (decode-time)."""
+    def precompute_cross_kv(self, p, enc, quant=None):
+        """Per-depth cross K/V from the fixed encoder output (decode-time).
+        ``quant='int8'`` stores each depth's K/V quantized (serving mode —
+        dequantized on read, halving the per-step cross-K/V HBM term)."""
         if not self.config.use_cross_attn:
             return {}
         return {depth: blk.crossattention.project_kv(
-                    p["transformer"]["h"][str(depth)]["crossattention"], enc)
+                    p["transformer"]["h"][str(depth)]["crossattention"], enc,
+                    quant=quant)
                 for depth, blk in enumerate(self.backbone.blocks)}
 
     def _block_attns(self):

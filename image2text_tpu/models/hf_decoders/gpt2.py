@@ -16,7 +16,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from image2text_tpu.nn.core import Ctx, Module, ModuleList, dropout, normal_init
-from image2text_tpu.nn.modules import Embedding, LayerNorm, Linear, gelu_tanh
+from image2text_tpu.nn.modules import (
+    Embedding,
+    LayerNorm,
+    Linear,
+    QuantizedKV,
+    gelu_tanh,
+    quantize_rows_int8,
+)
 from image2text_tpu.ops.attention import causal_bias, sdpa
 from image2text_tpu.utils.tree import flatten, unflatten
 
@@ -69,9 +76,14 @@ class _GPT2CrossAttention(Module):
         self.c_attn = self.add("c_attn", Linear(n_embd, 2 * n_embd))
         self.c_proj = self.add("c_proj", Linear(n_embd, n_embd))
 
-    def project_kv(self, p, enc):
+    def project_kv(self, p, enc, quant=None):
         """Split-head cross K/V for a fixed encoder output (decode-time
-        precompute — once per sequence, not once per token)."""
+        precompute — once per sequence, not once per token).
+
+        ``quant='int8'`` returns a :class:`nn.modules.QuantizedKV` —
+        stored int8 + per-row scales, dequantized on read in ``forward``
+        (halves the per-step cross-K/V HBM read; the scratch decoder's
+        MultiheadAttention additionally runs native int8 dots)."""
         b = enc.shape[0]
         hd = self.n_embd // self.n_head
         k, v = jnp.split(self.c_attn(p["c_attn"], enc), 2, axis=-1)
@@ -79,14 +91,26 @@ class _GPT2CrossAttention(Module):
         def heads(z):
             return z.reshape(b, -1, self.n_head, hd).transpose(0, 2, 1, 3)
 
-        return heads(k), heads(v)
+        k, v = heads(k), heads(v)
+        if quant == "int8":
+            kq, ks = quantize_rows_int8(k)
+            vq, vs = quantize_rows_int8(v)
+            return QuantizedKV(kq, ks, vq, vs)
+        assert quant is None, f"unknown cross-KV quant mode {quant!r}"
+        return k, v
 
     def forward(self, p, x, enc, ctx: Ctx = Ctx(), use_flash: bool = True,
                 precomputed_kv=None, **kwargs):
         b, t, c = x.shape
         hd = c // self.n_head
         q = self.q_attn(p["q_attn"], x)
-        if precomputed_kv is not None:
+        if isinstance(precomputed_kv, QuantizedKV):
+            # dequant-on-read: only 1-byte K/V rows cross HBM; the convert
+            # happens in VMEM and fuses into the attention dots
+            kq, ks, vq, vs = precomputed_kv
+            k = (kq * ks[..., None]).astype(x.dtype)
+            v = (vq * vs[..., None]).astype(x.dtype)
+        elif precomputed_kv is not None:
             k, v = precomputed_kv
         else:
             k, v = self.project_kv(p, enc)

@@ -208,6 +208,14 @@ def test_quantized_lora_gpt2_end_to_end():
                               temperature=0.0, force_no_cache=True)
         assert fast.shape == (2, 6)
         np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+        # serving-mode int8 cross-KV must thread through the HF decoder's
+        # precompute_cross_kv (regression: the kwarg existed only on the
+        # scratch decoder) and stay greedy-equivalent at this tiny scale
+        q8 = model.generate(vparams, img, prompt, max_new_tokens=5,
+                            temperature=0.0, cross_kv_quant="int8")
+        assert q8.shape == (2, 6)
+        agree = float(np.mean(np.asarray(q8) == np.asarray(fast)))
+        assert agree >= 0.75, f"int8 cross-KV greedy agreement {agree}"
     finally:
         GPT2_TABLE["gpt2"] = dict(n_layer=12, n_embd=768, n_head=12)
 
