@@ -51,11 +51,15 @@ def sdpa(
 
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
-    q32 = q.astype(jnp.float32)
-    k32 = k.astype(jnp.float32)
     # (b, h, s, d) @ (b, hk, d, l) -> (b, h, s, l); batch dims broadcast (MQA).
-    scores = jnp.matmul(q32 * scale, k32.swapaxes(-1, -2),
-                        preferred_element_type=jnp.float32)
+    # Operands stay in their storage dtype with fp32 ACCUMULATION — on TPU a
+    # bf16xbf16->f32 dot is native MXU; pre-casting to f32 materialises f32
+    # copies of K/V (2x the HBM read of the decode loop's cached K/V every
+    # step) and runs the dot at the much slower f32 MXU rate.  For f32
+    # inputs this is identical to the old explicit-cast code; the scale is
+    # applied to the f32 scores so no extra operand rounding is introduced.
+    scores = jnp.matmul(q, k.swapaxes(-1, -2),
+                        preferred_element_type=jnp.float32) * scale
     if mask is not None:
         scores = scores + mask.astype(jnp.float32)
     # Safe softmax: fully-masked query rows produce zeros rather than NaN,
@@ -71,7 +75,10 @@ def sdpa(
     probs = e / jnp.maximum(denom, 1e-9)
     if ctx.train and dropout_rate > 0.0:
         probs, ctx = dropout(probs, dropout_rate, ctx)
-    out = jnp.matmul(probs, v.astype(jnp.float32),
+    # Probabilities drop to the storage dtype before the V dot (exactly
+    # torch's fused-SDPA behaviour for low-precision inputs); for f32
+    # inputs this whole path stays f32 end-to-end.
+    out = jnp.matmul(probs.astype(q.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
