@@ -51,15 +51,28 @@ def sdpa(
 
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
-    # (b, h, s, d) @ (b, hk, d, l) -> (b, h, s, l); batch dims broadcast (MQA).
+    # MQA/GQA head folding: dot_general cannot broadcast batch dims, so a
+    # plain jnp.matmul of q:(b,h,s,d) with k:(b,1,l,d) makes XLA materialise
+    # an h-way COPY of K (and V below) — at decode time that is h× the
+    # cache's HBM traffic every step.  Folding the per-group query heads
+    # into the sequence axis gives matched batch dims; K/V are read once.
+    b, h, s, _ = q.shape
+    hk = k.shape[1]
+    if hk != h:
+        g = h // hk
+        qf = q.reshape(b, hk, g * s, d)
+    else:
+        g, qf = 1, q
     # Operands stay in their storage dtype with fp32 ACCUMULATION — on TPU a
     # bf16xbf16->f32 dot is native MXU; pre-casting to f32 materialises f32
     # copies of K/V (2x the HBM read of the decode loop's cached K/V every
     # step) and runs the dot at the much slower f32 MXU rate.  For f32
     # inputs this is identical to the old explicit-cast code; the scale is
     # applied to the f32 scores so no extra operand rounding is introduced.
-    scores = jnp.matmul(q, k.swapaxes(-1, -2),
+    scores = jnp.matmul(qf, k.swapaxes(-1, -2),
                         preferred_element_type=jnp.float32) * scale
+    if g > 1:
+        scores = scores.reshape(b, h, s, -1)
     if mask is not None:
         scores = scores + mask.astype(jnp.float32)
     # Safe softmax: fully-masked query rows produce zeros rather than NaN,
@@ -78,8 +91,12 @@ def sdpa(
     # Probabilities drop to the storage dtype before the V dot (exactly
     # torch's fused-SDPA behaviour for low-precision inputs); for f32
     # inputs this whole path stays f32 end-to-end.
-    out = jnp.matmul(probs.astype(q.dtype), v,
-                     preferred_element_type=jnp.float32)
+    pf = probs.astype(q.dtype)
+    if g > 1:  # same head folding as the QK dot: read V once
+        pf = pf.reshape(b, hk, g * s, -1)
+    out = jnp.matmul(pf, v, preferred_element_type=jnp.float32)
+    if g > 1:
+        out = out.reshape(b, h, s, d)
     return out.astype(q.dtype)
 
 
