@@ -118,6 +118,27 @@ def test_sdpa_mqa_broadcast():
     assert sdpa(q, k, v).shape == (2, 4, 8, 16)
 
 
+@pytest.mark.parametrize("h,hk", [(8, 1), (8, 2), (4, 4)])
+def test_sdpa_head_fold_matches_explicit_broadcast(h, hk):
+    """The shared-KV head fold (which keeps dot_general batch dims matched so
+    K/V are never materialised per query head) must be bitwise equal to the
+    explicit h-way broadcast, for MQA, GQA, and full-head layouts."""
+    rng = np.random.default_rng(7)
+    b, s, l, d = 3, 5, 9, 16
+    mask = jnp.asarray(
+        np.where(rng.random((1, 1, s, l)) > 0.2, 0.0, -np.inf), jnp.float32)
+    for dt in (jnp.float32, jnp.bfloat16):
+        q = jnp.asarray(rng.standard_normal((b, h, s, d)), dt)
+        k = jnp.asarray(rng.standard_normal((b, hk, l, d)), dt)
+        v = jnp.asarray(rng.standard_normal((b, hk, l, d)), dt)
+        g = h // hk
+        kb = jnp.broadcast_to(k[:, :, None], (b, hk, g, l, d)).reshape(b, h, l, d)
+        vb = jnp.broadcast_to(v[:, :, None], (b, hk, g, l, d)).reshape(b, h, l, d)
+        out = np.asarray(sdpa(q, k, v, mask), np.float32)
+        ref = np.asarray(sdpa(q, kb, vb, mask), np.float32)
+        np.testing.assert_array_equal(out, ref)
+
+
 def test_causal_bias():
     cb = np.asarray(causal_bias(4, 4))[0, 0]
     assert cb[0, 0] == 0 and np.isneginf(cb[0, 1]) and cb[3, 0] == 0
