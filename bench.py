@@ -211,8 +211,6 @@ def _bench_beam(cfg, params, dev, data_sharding, flops_analytic):
     from image2text_tpu.models.generation_utils import BeamSearchTokenGenerator
     from image2text_tpu.models.vision_encoder_decoder import VisionEncoderDecoder
 
-    from __graft_entry__ import _flagship_config  # noqa: F401 (cfg built)
-
     model = VisionEncoderDecoder(cfg.model)
     gen = BeamSearchTokenGenerator(
         model, beam_width=3, beam_expansion_factor=4,

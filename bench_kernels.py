@@ -218,17 +218,23 @@ def _try(fn, fallback):
         return fallback
 
 
-# plausibility ceiling: nothing on a v5e legitimately sustains more than
-# ~1.2x the 197 TFLOP/s bf16 peak on these ops — faster slopes are broken
-# windows (observed: a "566 TFLOP/s" calibration during a phase flip)
-_PEAK_TFLOPS = 197.0 * 1.2
+# plausibility ceiling: nothing legitimately sustains more than ~1.2x the
+# chip's bf16 peak on these ops — faster slopes are broken windows
+# (observed: a "566 TFLOP/s" calibration during a phase flip).  The peak
+# comes from the device kind (bench.py's table), not a hardcoded v5e.
 _SUPPORT_RTOL = 0.15  # a metric is resolved when >=2 samples sit within
 _MIN_SUPPORT = 2      # 15% of the plausible minimum
 
 
+def _peak_tflops() -> float:
+    from bench import chip_peak_flops
+
+    return chip_peak_flops(jax.devices()[0]) / 1e12 * 1.2
+
+
 def _resolved(samples, flops):
     """(best_ms, support) over plausible samples; None until resolvable."""
-    floor_ms = flops / (_PEAK_TFLOPS * 1e9)  # faster than peak => garbage
+    floor_ms = flops / (_peak_tflops() * 1e9)  # faster than peak => garbage
     ok = [t for t in samples if t > floor_ms]
     if not ok:
         return None, 0
@@ -238,15 +244,23 @@ def _resolved(samples, flops):
 
 
 _CALIB_MIN = 100.0  # TFLOP/s; healthy v5e sustains ~200 on the probe
-_SAMPLES_PATH = ".kernel_samples.json"  # repo-local, survives across runs
+
+
+def _samples_path() -> str:
+    """Repo-local sample store, keyed by device kind: timings from one chip
+    generation must never resolve metrics for another."""
+    kind = getattr(jax.devices()[0], "device_kind", "unknown")
+    slug = "".join(c if c.isalnum() else "-" for c in kind.lower())
+    return f".kernel_samples-{slug}.json"
 
 
 def _load_samples():
     import os
-    if not os.path.exists(_SAMPLES_PATH):
+    path = _samples_path()
+    if not os.path.exists(path):
         return {}
     try:
-        with open(_SAMPLES_PATH) as f:
+        with open(path) as f:
             raw = json.load(f)
         return {tuple(eval(k)): v for k, v in raw.items()}  # keys we wrote
     except Exception:
@@ -254,7 +268,7 @@ def _load_samples():
 
 
 def _save_samples(samples):
-    with open(_SAMPLES_PATH, "w") as f:
+    with open(_samples_path(), "w") as f:
         json.dump({repr(k): v for k, v in samples.items()}, f)
 
 
@@ -270,7 +284,8 @@ def main():
     # after each chunk of metrics, otherwise the chunk's samples are
     # discarded.  On top of that, a metric is accepted only once its
     # minimum is REPRODUCED (>=2 healthy-window samples within 15%).
-    # Samples persist in .kernel_samples.json so interrupted runs resume.
+    # Samples persist per device kind (see _samples_path) so interrupted
+    # runs resume without blending chips.
     wait_min = float(os.environ.get("KERNEL_BENCH_WAIT_MIN", "0"))
     deadline = _time.time() + wait_min * 60
     calib = _try(quick_calib, 0.0)
@@ -296,7 +311,11 @@ def main():
               f"resolved from persisted healthy-window samples", flush=True)
     attempt = 0
     chunk_n = 3
-    while len(resolved) < len(specs) and _time.time() <= deadline:
+    # do-while: at least one measurement attempt even with WAIT_MIN=0 —
+    # the deadline bounds *waiting-room* time, it must not gate the first
+    # pass (a zero deadline used to exit before measuring anything)
+    while len(resolved) < len(specs) and (
+            attempt == 0 or _time.time() <= deadline):
         attempt += 1
         c0 = _try(quick_calib, 0.0)
         if c0 < _CALIB_MIN:

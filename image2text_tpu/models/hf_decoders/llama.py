@@ -87,11 +87,10 @@ class _LlamaAttention(Module):
             causal = False
         else:
             mask, causal = None, True
-        if a.n_kv_head not in (1, a.n_head):
-            # grouped-query: repeat kv groups to full heads for the sdpa op
-            rep = a.n_head // a.n_kv_head
-            k = jnp.repeat(k, rep, axis=1)
-            v = jnp.repeat(v, rep, axis=1)
+        # grouped-query KV goes to sdpa as-is: its head fold (query heads
+        # into the sequence axis, HF repeat_kv grouping q head i -> kv head
+        # i // rep) reads K/V once instead of materialising an
+        # n_head/n_kv_head-way copy of the cache every decode step
         y = sdpa(q, k, v, mask=mask, ctx=ctx, use_flash=use_flash,
                  causal=causal)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, a.n_head * hd)

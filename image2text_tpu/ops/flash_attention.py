@@ -516,6 +516,8 @@ def flash_attention_compatible(q: jax.Array, k: jax.Array, v: jax.Array,
     suit the kernel, None → XLA fallback (disable_flash parity)."""
     if q.shape[-1] > 256:
         return None
+    if k.shape[1] not in (1, q.shape[1]):
+        return None  # grouped-query KV: only the XLA fold path serves it
     if mask is not None:
         if mask.ndim != 4 or mask.shape[-1] != k.shape[-2]:
             return None

@@ -53,14 +53,18 @@ def fenced_s(fn, *args):
 
 
 def slope_ms(fn_lo, fn_hi, args, attempts=4):
-    """min over attempts of (t_hi - t_lo) / (HI - LO) in ms."""
+    """min over attempts of (t_hi - t_lo) / (HI - LO) in ms.
+
+    Returns -1.0 when no attempt produced hi > lo (a fully-degraded window
+    where dispatch jitter swamps compute) — a sentinel rather than inf,
+    which json.dumps would serialise as the invalid token ``Infinity``."""
     best = float("inf")
     for _ in range(attempts):
         lo = fenced_s(fn_lo, *args)
         hi = fenced_s(fn_hi, *args)
         if hi > lo:
             best = min(best, (hi - lo) / (MAX_STEPS_HI - MAX_STEPS_LO) * 1e3)
-    return best
+    return best if best != float("inf") else -1.0
 
 
 def main(batch: int):
@@ -178,14 +182,19 @@ def main(batch: int):
                 out[f"{name}_ms_per_step"] = round(ms, 3)
             c1 = quick_calib()
             out["calib_after_tflops"] = round(c1, 1)
-            sane = (out["decode_ms_per_step"] <= out["full_ms_per_step"] * 1.1
+            measured = all(out[f"{n}_ms_per_step"] > 0 for n in variants)
+            sane = (measured
+                    and out["decode_ms_per_step"]
+                    <= out["full_ms_per_step"] * 1.1
                     and out["decode_nox_ms_per_step"]
                     <= out["decode_ms_per_step"] * 1.1)
             out["healthy"] = c0 > 100 and c1 > 100 and sane
-            if best is None or (out["healthy"] and not best.get("healthy")) \
+            if measured and (
+                    best is None
+                    or (out["healthy"] and not best.get("healthy"))
                     or (out["healthy"] == best.get("healthy")
                         and out["full_ms_per_step"]
-                        < best.get("full_ms_per_step", 1e9)):
+                        < best.get("full_ms_per_step", 1e9))):
                 best = out
             print(f"attempt {attempt}: calib {c0:.0f}->{c1:.0f}, "
                   f"full {out['full_ms_per_step']} ms/step, "
@@ -199,6 +208,13 @@ def main(batch: int):
             break
         time.sleep(30)
     out = best or out
+    # a run that never saw a healthy window still emits a complete,
+    # self-describing record (null ms fields, healthy=false) so readers
+    # of PROFILE_DECODE_SLOPE.json never KeyError on a degraded day
+    out.setdefault("calib_after_tflops", None)
+    out.setdefault("healthy", False)
+    for name in variants:
+        out.setdefault(f"{name}_ms_per_step", None)
 
     # roofline terms (per decode step)
     dec = cfg.model.decoder_config

@@ -218,7 +218,16 @@ def main():
         except OSError as e:
             print(f"SKIP [{name}] network/cache unavailable: {e}", flush=True)
         except RuntimeError as e:
-            print(f"SKIP [{name}] {e}", flush=True)
+            # only plain RuntimeErrors mean "environment can't serve this"
+            # (e.g. get_tokenizer offline): XLA runtime errors SUBCLASS
+            # RuntimeError and are genuine failures this script exists to
+            # surface — letting them skip would defeat first-boot detection
+            if type(e).__module__.split(".")[0] in ("jax", "jaxlib"):
+                failures.append(name)
+                print(f"FAIL [{name}]", flush=True)
+                traceback.print_exc()
+            else:
+                print(f"SKIP [{name}] {e}", flush=True)
         except Exception:
             failures.append(name)
             print(f"FAIL [{name}]", flush=True)

@@ -167,7 +167,8 @@ def main(args):
     from image2text_tpu.training.data import Prefetcher
 
     train_iter, val_iter = Prefetcher(train_dl), Prefetcher(val_dl)
-    for epoch in range(config.max_loop_epochs or 10000):
+    n_loop = 10000 if config.max_loop_epochs is None else config.max_loop_epochs
+    for epoch in range(n_loop):
         stop = trainer.train_loop(train_iter, epoch,
                                   chkpt_fname=args.chkpt_file)
         if args.resume_dir:
