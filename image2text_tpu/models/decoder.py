@@ -229,7 +229,9 @@ class TransformerDecoder(Decoder):
                 x = self.wpe.forward_at(p["transformer"]["wpe"], inputs_embeds,
                                         positions, ctx=ctx.fold(1))
         else:
-            pos_emb = jnp.take(p["transformer"]["wpe"]["weight"], positions, axis=0)
+            # through the Embedding module, which also serves the int8
+            # serving form (qweight rows + scales)
+            pos_emb = self.wpe(p["transformer"]["wpe"], jnp.asarray(positions))
             x = inputs_embeds + pos_emb.astype(inputs_embeds.dtype)
         x, ctx = dropout(x, self.dropout_rate, ctx.fold(2))
 
@@ -253,10 +255,18 @@ class TransformerDecoder(Decoder):
                         kv_cache=kv_cache, cross_kv=ckv,
                         sparse_rule_len=sparse_rule_len)
         x = self.ln_f(p["transformer"]["ln_f"], x)
-        logits = jax.lax.dot_general(
-            x, p["transformer"]["wte"]["weight"].astype(x.dtype),
-            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        wte = p["transformer"]["wte"]
+        if "qweight" in wte:
+            # int8 serving form: the tied lm_head is the single largest
+            # per-decode-step weight read (vocab x d); W8A8 halves it
+            from image2text_tpu.nn.modules import int8_dot_rows
+
+            logits = int8_dot_rows(x, wte["qweight"], wte["qscale"])
+        else:
+            logits = jax.lax.dot_general(
+                x, wte["weight"].astype(x.dtype),
+                dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         return logits, x
 
     def get_inputs_embeds(self, p, idx):

@@ -113,6 +113,38 @@ def quantize_module_structure(module: Module,
     walk(module, "")
 
 
+def int8_serving_params(params: Dict, min_elems: int = 1 << 18) -> Dict:
+    """W8A8 serving transform: returns a copy of a param tree where every
+    sizeable 2-D float ``weight`` leaf living alone under its module dict
+    (Linear / Embedding layout) becomes ``qweight`` int8 rows + ``qscale``
+    per-row fp32 scales.  nn.modules.Linear / Embedding and the scratch
+    decoder's tied lm_head dispatch on that form at run time, so the
+    transform composes with generate()/beam search unchanged.
+
+    Lossy (two int8 roundings per matmul) — a SERVING mode like the int8
+    cross-KV option, never a training path.  ``min_elems`` keeps small,
+    precision-sensitive weights (MoE gates, layernorms, biases) in float.
+    Apply to the decoder subtree: the encoder runs once per caption while
+    the decoder re-reads its weights every decode step."""
+    from image2text_tpu.nn.modules import quantize_rows_int8
+
+    def walk(d):
+        if not isinstance(d, dict):
+            return d
+        out = {k: walk(v) for k, v in d.items()}
+        w = out.get("weight")
+        if (w is not None and set(out) <= {"weight", "bias"}
+                and getattr(w, "ndim", 0) == 2
+                and jnp.issubdtype(w.dtype, jnp.floating)
+                and w.size >= min_elems):
+            qw, qs = quantize_rows_int8(w)
+            del out["weight"]
+            out["qweight"], out["qscale"] = qw, qs
+        return out
+
+    return walk(params)
+
+
 def assign_imported(flat: Dict, key: str, value: np.ndarray) -> bool:
     """Assign an imported float tensor into ``flat[key]``, quantizing on the
     fly when the destination is an int4 weight (the HF checkpoint stores fp;

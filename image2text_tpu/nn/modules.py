@@ -31,7 +31,15 @@ def gelu_tanh(x: jax.Array) -> jax.Array:
 
 
 class Linear(Module):
-    """y = x @ W.T + b with torch layout W:(out, in)."""
+    """y = x @ W.T + b with torch layout W:(out, in).
+
+    Serving-mode W8A8: when the param dict carries ``qweight``/``qscale``
+    instead of ``weight`` (see models/quantization.py
+    ``int8_serving_params``), both operands run as int8 on the MXU's
+    s8xs8->s32 mode — half the weight HBM traffic of bf16 and double the
+    MXU rate.  Scales are per-ROW of each operand's contraction (per
+    output feature for W, per token for x), so they factor out of the
+    k-sum exactly; only the int8 rounding approximates."""
 
     def __init__(self, in_features: int, out_features: int, bias: bool = True):
         super().__init__()
@@ -44,12 +52,15 @@ class Linear(Module):
             self.param("bias", (out_features,), torch_linear_weight_init(in_features))
 
     def forward(self, p, x, **kwargs):
-        w = p["weight"].astype(x.dtype)
-        y = jax.lax.dot_general(
-            x, w,
-            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        if "qweight" in p:
+            y = int8_dot_rows(x, p["qweight"], p["qscale"]).astype(x.dtype)
+        else:
+            w = p["weight"].astype(x.dtype)
+            y = jax.lax.dot_general(
+                x, w,
+                dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
         if self.use_bias:
             y = y + p["bias"].astype(x.dtype)
         return y
@@ -65,6 +76,11 @@ class Embedding(Module):
         self.param("weight", (num_embeddings, dim), normal_init(std=init_std))
 
     def forward(self, p, idx, **kwargs):
+        if "qweight" in p:
+            # int8 serving form (rows + per-row scales): dequantise just
+            # the gathered rows — one token's row per decode step
+            rows = jnp.take(p["qweight"], idx, axis=0).astype(jnp.float32)
+            return rows * jnp.take(p["qscale"], idx, axis=0)[..., None]
         return jnp.take(p["weight"], idx, axis=0)
 
 
@@ -176,6 +192,21 @@ def quantize_rows_int8(t: jax.Array) -> Tuple[jax.Array, jax.Array]:
     q = jnp.clip(jnp.round(t.astype(jnp.float32) / scale[..., None]),
                  -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def int8_dot_rows(x: jax.Array, qw: jax.Array, qs: jax.Array) -> jax.Array:
+    """W8A8 matmul: x (..., in) fp against a pre-quantized torch-layout
+    weight qw (out, in) int8 with per-output-row fp32 scales qs (out,).
+
+    Activations quantize per row on the fly; the dot runs s8xs8->s32 on
+    the MXU and both row scales factor back out exactly — the only
+    approximation is the two roundings.  Returns fp32 (..., out)."""
+    xq, xs = quantize_rows_int8(x)
+    y = jax.lax.dot_general(
+        xq, qw,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * xs[..., None] * qs
 
 
 class MultiheadAttention(Module):

@@ -546,3 +546,41 @@ def test_generate_int8_cross_kv_close_to_exact():
     assert g_int8.shape == g_exact.shape
     agree = (g_int8 == g_exact).mean()
     assert agree >= 0.75, f"greedy agreement {agree} (quant noise too large)"
+
+
+def test_int8_serving_params_close_to_exact():
+    """W8A8 serving mode (models/quantization.int8_serving_params): the
+    transformed decoder tree must (a) rewrite the big 2-D weights
+    (incl. the tied wte/lm_head) to int8 rows + per-row scales, (b) keep
+    forward logits within the two-rounding tolerance of the float path,
+    and (c) run a jitted cached generate end-to-end."""
+    from image2text_tpu.models.quantization import int8_serving_params
+
+    model, params, img = _model_and_inputs()
+    # tiny dims: quantize everything 2-D so the test exercises the form
+    dec_q = int8_serving_params(params["decoder"], min_elems=1)
+    pq = dict(params)
+    pq["decoder"] = dec_q
+
+    wte = dec_q["transformer"]["wte"]
+    assert "qweight" in wte and wte["qweight"].dtype == jnp.int8
+    assert "weight" not in wte
+    # layernorms (1-D weights) stay float
+    assert "weight" in dec_q["transformer"]["ln_f"]
+
+    ids = jnp.asarray([[1, 2, 3], [4, 5, 6]])
+    out = model(params, img, ids, ctx=EVAL)
+    out_q = model(pq, img, ids, ctx=EVAL)
+    err = np.abs(np.asarray(out_q.logits) - np.asarray(out.logits))
+    scale = np.abs(np.asarray(out.logits)).max()
+    assert err.max() < 0.08 * scale, (err.max(), scale)
+
+    prompt = jnp.asarray([[1, 2, 3], [4, 5, 6]])
+    g = np.asarray(jax.jit(lambda p, im, pr: model.generate(
+        p, im, pr, max_new_tokens=6, temperature=0.0,
+        cross_kv_quant="int8"))(pq, img, prompt))
+    assert g.shape == (2, 9)
+    g_exact = np.asarray(model.generate(params, img, prompt,
+                                        max_new_tokens=6, temperature=0.0))
+    agree = (g == g_exact).mean()
+    assert agree >= 0.6, f"greedy agreement {agree} (quant noise too large)"

@@ -361,3 +361,18 @@ def test_dropout_varies_across_sites():
     # deterministic given rng
     y3 = blk(p, x, ctx=Ctx(rng=jax.random.PRNGKey(1), train=True))
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y3))
+
+
+def test_int8_dot_rows_accuracy():
+    """W8A8 helper: s8xs8->s32 dot with per-row scales reconstructs the
+    float matmul within the two-rounding error bound."""
+    from image2text_tpu.nn.modules import int8_dot_rows, quantize_rows_int8
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((4, 7, 96)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((32, 96)), jnp.float32)
+    qw, qs = quantize_rows_int8(w)
+    y = np.asarray(int8_dot_rows(x, qw, qs))
+    ref = np.asarray(x @ w.T)
+    denom = np.abs(ref).max()
+    assert np.abs(y - ref).max() < 0.03 * denom, np.abs(y - ref).max()
