@@ -159,6 +159,14 @@ def main(batch: int):
         "sample": (sample_loop(MAX_STEPS_LO), sample_loop(MAX_STEPS_HI),
                    (last0, jax.random.PRNGKey(0))),
     }
+    # full int8 serving: W8A8 decoder weights + int8 cross-KV
+    from image2text_tpu.models.quantization import int8_serving_params
+
+    params_w8 = dict(params)
+    params_w8["decoder"] = int8_serving_params(params["decoder"])
+    variants["decode_w8a8"] = (decode_loop(MAX_STEPS_LO, True, "int8"),
+                               decode_loop(MAX_STEPS_HI, True, "int8"),
+                               (params_w8, enc_out))
 
     # warm every compiled program once (off the clock)
     for lo, hi, args in variants.values():
