@@ -85,24 +85,34 @@ class HuggingfaceDecoder(Decoder):
         return params
 
     # -- Decoder interface ---------------------------------------------------
-    def _embed_params(self, p):
+    def _embed_node(self, p):
         node = p
         for part in self.embed_path.split("."):
             node = node[part]
-        return node["weight"]
+        return node
+
+    def _embed_params(self, p):
+        return self._embed_node(p)["weight"]
 
     def get_inputs_embeds(self, p, idx):
-        return jnp.take(self._embed_params(p), idx, axis=0)
+        node = self._embed_node(p)
+        if "qweight" in node:
+            # W8A8 serving form (models/quantization.int8_serving_params):
+            # dequantise only the gathered rows
+            rows = jnp.take(node["qweight"], idx, axis=0).astype(jnp.float32)
+            return rows * jnp.take(node["qscale"], idx, axis=0)[..., None]
+        return jnp.take(node["weight"], idx, axis=0)
 
     def _logits(self, p, hidden):
-        if self.tied:
-            w = self._embed_params(p)
-        else:
-            w = p["lm_head"]["weight"]
+        node = self._embed_node(p) if self.tied else p["lm_head"]
         import jax
 
+        if "qweight" in node:
+            from image2text_tpu.nn.modules import int8_dot_rows
+
+            return int8_dot_rows(hidden, node["qweight"], node["qscale"])
         return jax.lax.dot_general(
-            hidden, w.astype(hidden.dtype),
+            hidden, node["weight"].astype(hidden.dtype),
             dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 

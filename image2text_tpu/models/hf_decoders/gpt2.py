@@ -195,8 +195,9 @@ class GPT2Backbone(Module):
         t = inputs_embeds.shape[-2]
         positions = jnp.arange(t) if pos_offset is None \
             else pos_offset + jnp.arange(t)
-        x = inputs_embeds + jnp.take(p["wpe"]["weight"], positions,
-                                     axis=0).astype(inputs_embeds.dtype)
+        # through the Embedding module, which also serves the W8A8 form
+        x = inputs_embeds + self.wpe(p["wpe"], positions) \
+            .astype(inputs_embeds.dtype)
         x, ctx = dropout(x, self.dropout_rate, ctx)
         for depth, blk in enumerate(self.blocks):
             ckv = cross_kv.get(depth) if cross_kv is not None else None

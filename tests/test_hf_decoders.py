@@ -407,3 +407,57 @@ def test_int4_quantization_reconstruction():
                                            jnp.asarray(scales), 200))
     err = np.abs(back - w).max() / np.abs(w).max()
     assert err < 0.12, err
+
+
+def test_hf_gpt2_int8_serving_generate():
+    """W8A8 serving on the HF family: factory lm_head/embeddings and the
+    gpt2 wpe dispatch on the int8 form; quantized greedy generate runs
+    under jit and tracks the float path."""
+    from image2text_tpu.configs.models import (
+        MLPConfig, ImageInputSpec, SelfAttentionConfig, SelfAttentionType,
+        TransformerConfig, VisionEncoderDecoderConfig,
+        VisionTransformerEncoderConfig)
+    from image2text_tpu.models.hf_decoders.factory import (GPT2_TABLE,
+                                                           build_hf_decoder)
+    from image2text_tpu.models.quantization import int8_serving_params
+    from image2text_tpu.models.vision_encoder_decoder import VisionEncoderDecoder
+
+    GPT2_TABLE["gpt2"] = dict(n_layer=2, n_embd=32, n_head=2)
+    try:
+        dec_cfg = HuggingfaceDecoderConfig(
+            model_str="gpt2", use_cross_attn=False, vocab_size=50257,
+            extra_tokens=0, load_in_4bit=False,
+            prepare_for_kbit_training=False)
+        dec = build_hf_decoder(dec_cfg, load_weights=False)
+        enc_cfg = VisionTransformerEncoderConfig(
+            transformer_config=TransformerConfig(
+                rotator_config=MLPConfig(ff_mult=2.0),
+                attn_config=SelfAttentionConfig(
+                    attn_type=SelfAttentionType.MULTI_QUERY, n_embd=32,
+                    n_head=2),
+                is_causal=False, is_cross_attn=False),
+            input=ImageInputSpec(n_channels=3, width=32, height=32),
+            n_layer=1, n_cls=4, num_patches=8, n_channels=4)
+        ved_cfg = VisionEncoderDecoderConfig(
+            vision_encoder_config=enc_cfg, decoder_config=dec_cfg,
+            use_cross_attn=False, use_soft_prompting=True)
+        model = VisionEncoderDecoder(ved_cfg, decoder=dec)
+        params = model.init(jax.random.PRNGKey(2))
+        pq = dict(params)
+        pq["decoder"] = int8_serving_params(params["decoder"], min_elems=1)
+        # the tied wte (vocab x 32) must be in int8 form
+        assert "qweight" in pq["decoder"]["transformer"]["wte"]
+
+        img = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (2, 3, 32, 32)), jnp.float32)
+        prompt = jnp.asarray([[5], [6]])
+        g = np.asarray(jax.jit(lambda p, im, pr: model.generate(
+            p, im, pr, max_new_tokens=5, temperature=0.0))(pq, img, prompt))
+        assert g.shape == (2, 6)
+        g_exact = np.asarray(model.generate(params, img, prompt,
+                                            max_new_tokens=5,
+                                            temperature=0.0))
+        agree = (g == g_exact).mean()
+        assert agree >= 0.5, f"greedy agreement {agree}"
+    finally:
+        GPT2_TABLE["gpt2"] = dict(n_layer=12, n_embd=768, n_head=12)
