@@ -58,25 +58,9 @@ NORTH_STAR_V5E8 = 5000.0  # captions/sec on 8 chips (BASELINE.json)
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 BATCHES = (8, 16) if SMOKE else (128, 256, 512, 1024)
 
-# bf16 peak FLOP/s per chip, by jax device_kind substring (public specs)
-_PEAK_BF16 = [
-    ("v5 lite", 197e12),   # TPU v5e (device_kind "TPU v5 lite")
-    ("v5e", 197e12),
-    ("v5p", 459e12),
-    ("v5", 459e12),        # v5p reports plain "TPU v5"; must follow "v5 lite"
-    ("v6", 918e12),        # Trillium
-    ("v4", 275e12),
-    ("v3", 123e12),
-    ("v2", 46e12),
-]
-
-
-def chip_peak_flops(device) -> float:
-    kind = getattr(device, "device_kind", "").lower()
-    for sub, peak in _PEAK_BF16:
-        if sub in kind:
-            return peak
-    return 197e12  # default to v5e if unrecognised
+# bf16 peak FLOP/s per chip (shared table; importable without this
+# module's compile-cache side effects)
+from image2text_tpu.utils.device import chip_peak_bf16_flops as chip_peak_flops  # noqa: E402,E501
 
 
 def analytic_flops_per_caption(cfg, max_new_tokens: int,
@@ -189,15 +173,22 @@ def _build():
 
     gen_int8 = jax.jit(lambda p, raw, pr, rng: gen(p, raw, pr, rng, "int8"))
 
-    # full int8 serving params: W8A8 decoder weights (models/quantization.py
-    # int8_serving_params) benched together with int8 cross-KV — the decoder
-    # re-reads its weights every decode step, so halving weight bytes stacks
-    # with halving the cross-KV term
-    from image2text_tpu.models.quantization import int8_serving_params
+    def build_params_w8():
+        """Full int8 serving params: W8A8 decoder weights benched together
+        with int8 cross-KV — the decoder re-reads its weights every decode
+        step, so halving weight bytes stacks with halving the cross-KV
+        term.  Built lazily inside the fail-soft int8 block: a W8A8
+        failure (or the extra decoder copy at the HBM limit) must not
+        take down the headline number."""
+        from image2text_tpu.models.quantization import int8_serving_params
 
-    params_w8 = dict(params)
-    params_w8["decoder"] = put_params(int8_serving_params(params["decoder"]))
-    return cfg, params, params_w8, jax.jit(gen), gen_int8, dev, data_sharding
+        params_w8 = dict(params)
+        params_w8["decoder"] = put_params(
+            int8_serving_params(model.decoder, params["decoder"]))
+        return params_w8
+
+    return (cfg, params, build_params_w8, jax.jit(gen), gen_int8, dev,
+            data_sharding)
 
 
 def _inputs(batch, sharding):
@@ -305,7 +296,8 @@ def main():
                   flush=True)
             time.sleep(30)
 
-    cfg, params, params_w8, gen_fn, gen_int8, dev, data_sharding = _build()
+    (cfg, params, build_params_w8, gen_fn, gen_int8, dev,
+     data_sharding) = _build()
 
     flops_analytic = analytic_flops_per_caption(cfg, MAX_NEW_TOKENS,
                                                 PROMPT_LEN)
@@ -404,6 +396,7 @@ def main():
     # suffices to show the stacked saving (fail-soft: int8_kv numbers
     # survive a W8A8-path failure)
     try:
+        params_w8 = build_params_w8()
         ib = int8_res.get("int8_kv_batch", BATCHES[0])
         raw_i, prompt_i = _inputs(ib, data_sharding)
         np.asarray(gen_int8(params_w8, raw_i, prompt_i,
@@ -415,6 +408,7 @@ def main():
             "int8_serving_captions_per_sec": round(w_caps, 2),
             "int8_serving_batch": ib,
         })
+        del params_w8  # free the extra decoder copy before the beam bench
     except Exception as e:
         int8_res["int8_serving_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 

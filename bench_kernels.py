@@ -227,9 +227,11 @@ _MIN_SUPPORT = 2      # 15% of the plausible minimum
 
 
 def _peak_tflops() -> float:
-    from bench import chip_peak_flops
+    # NOT `from bench import ...`: importing bench runs its module-level
+    # setup_compile_cache(), repointing the cache dir mid-measurement
+    from image2text_tpu.utils.device import chip_peak_bf16_flops
 
-    return chip_peak_flops(jax.devices()[0]) / 1e12 * 1.2
+    return chip_peak_bf16_flops(jax.devices()[0]) / 1e12 * 1.2
 
 
 def _resolved(samples, flops):

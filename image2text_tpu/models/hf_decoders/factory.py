@@ -91,16 +91,12 @@ class HuggingfaceDecoder(Decoder):
             node = node[part]
         return node
 
-    def _embed_params(self, p):
-        return self._embed_node(p)["weight"]
-
     def get_inputs_embeds(self, p, idx):
         node = self._embed_node(p)
         if "qweight" in node:
-            # W8A8 serving form (models/quantization.int8_serving_params):
-            # dequantise only the gathered rows
-            rows = jnp.take(node["qweight"], idx, axis=0).astype(jnp.float32)
-            return rows * jnp.take(node["qscale"], idx, axis=0)[..., None]
+            from image2text_tpu.nn.modules import embedding_rows
+
+            return embedding_rows(node, idx)
         return jnp.take(node["weight"], idx, axis=0)
 
     def _logits(self, p, hidden):
@@ -216,12 +212,13 @@ class LlamaHuggingfaceDecoder(_BackboneDecoder):
         self.arch = arch
         self.backbone = self.add("model", LlamaBackbone(arch))
         if not arch.tie_embeddings:
-            lm = Module()
-            from image2text_tpu.nn.core import normal_init
+            # an Embedding module (same torch (vocab, dim) weight layout):
+            # _logits reads the weight directly, and int8_serving_params's
+            # module-typed walk recognises it for the W8A8 form
+            from image2text_tpu.nn.modules import Embedding
 
-            lm.param("weight", (arch.vocab_size, arch.n_embd),
-                     normal_init(std=0.02))
-            self.add("lm_head", lm)
+            self.add("lm_head", Embedding(arch.vocab_size, arch.n_embd,
+                                          init_std=0.02))
 
     def _block_attns(self):
         return [blk.self_attn for blk in self.backbone.blocks]

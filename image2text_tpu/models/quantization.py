@@ -113,36 +113,55 @@ def quantize_module_structure(module: Module,
     walk(module, "")
 
 
-def int8_serving_params(params: Dict, min_elems: int = 1 << 18) -> Dict:
-    """W8A8 serving transform: returns a copy of a param tree where every
-    sizeable 2-D float ``weight`` leaf living alone under its module dict
-    (Linear / Embedding layout) becomes ``qweight`` int8 rows + ``qscale``
-    per-row fp32 scales.  nn.modules.Linear / Embedding and the scratch
-    decoder's tied lm_head dispatch on that form at run time, so the
-    transform composes with generate()/beam search unchanged.
+def int8_serving_params(module: Module, params: Dict,
+                        min_elems: int = 1 << 18) -> Dict:
+    """W8A8 serving transform: returns a copy of ``module``'s param tree
+    where every sizeable ``Linear``/``Embedding`` weight becomes ``qweight``
+    int8 rows + ``qscale`` per-row fp32 scales + a zero-length ``qdtype``
+    marker carrying the original storage dtype (so gather-style dequants
+    return bf16 rows in a bf16 serving graph instead of upcasting the
+    whole decode to f32).  nn.modules.Linear/Embedding and the lm-head
+    dots (scratch decoder + HF factory) dispatch on that form at run time,
+    so the transform composes with generate()/beam search unchanged.
+
+    The walk is typed on the MODULE tree (exactly ``Linear``/``Embedding``
+    nodes, not shape heuristics): structurally identical param dicts whose
+    forward does not dispatch on the form — CosineLinear, LoRA adapters,
+    already-quantized int4 Linears — are never rewritten.
 
     Lossy (two int8 roundings per matmul) — a SERVING mode like the int8
     cross-KV option, never a training path.  ``min_elems`` keeps small,
-    precision-sensitive weights (MoE gates, layernorms, biases) in float.
+    precision-sensitive weights (MoE gates, LoRA adapters) in float.
     Apply to the decoder subtree: the encoder runs once per caption while
     the decoder re-reads its weights every decode step."""
-    from image2text_tpu.nn.modules import quantize_rows_int8
+    from image2text_tpu.nn.modules import Embedding, quantize_rows_int8
 
-    def walk(d):
-        if not isinstance(d, dict):
-            return d
-        out = {k: walk(v) for k, v in d.items()}
-        w = out.get("weight")
-        if (w is not None and set(out) <= {"weight", "bias"}
-                and getattr(w, "ndim", 0) == 2
-                and jnp.issubdtype(w.dtype, jnp.floating)
-                and w.size >= min_elems):
-            qw, qs = quantize_rows_int8(w)
-            del out["weight"]
-            out["qweight"], out["qscale"] = qw, qs
+    def quantize_node(p):
+        w = p.get("weight")
+        if (w is None or getattr(w, "ndim", 0) != 2
+                or not jnp.issubdtype(w.dtype, jnp.floating)
+                or w.size < min_elems):
+            return p
+        qw, qs = quantize_rows_int8(w)
+        out = {k: v for k, v in p.items() if k != "weight"}
+        out["qweight"], out["qscale"] = qw, qs
+        out["qdtype"] = jnp.zeros((0,), w.dtype)
         return out
 
-    return walk(params)
+    def walk(mod: Module, p):
+        if not isinstance(p, dict):
+            return p
+        out = dict(p)
+        for name, child in mod._children.items():
+            if name not in p:
+                continue
+            if type(child) in (Linear, Embedding):
+                out[name] = quantize_node(p[name])
+            else:
+                out[name] = walk(child, p[name])
+        return out
+
+    return walk(module, params)
 
 
 def assign_imported(flat: Dict, key: str, value: np.ndarray) -> bool:

@@ -77,10 +77,7 @@ class Embedding(Module):
 
     def forward(self, p, idx, **kwargs):
         if "qweight" in p:
-            # int8 serving form (rows + per-row scales): dequantise just
-            # the gathered rows — one token's row per decode step
-            rows = jnp.take(p["qweight"], idx, axis=0).astype(jnp.float32)
-            return rows * jnp.take(p["qscale"], idx, axis=0)[..., None]
+            return embedding_rows(p, idx)
         return jnp.take(p["weight"], idx, axis=0)
 
 
@@ -192,6 +189,16 @@ def quantize_rows_int8(t: jax.Array) -> Tuple[jax.Array, jax.Array]:
     q = jnp.clip(jnp.round(t.astype(jnp.float32) / scale[..., None]),
                  -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def embedding_rows(p, idx) -> jax.Array:
+    """Gather embedding rows from an int8 serving form: dequantise only the
+    gathered rows (one token's row per decode step) and return them in the
+    ORIGINAL storage dtype recorded by the ``qdtype`` marker — returning
+    f32 here would silently upcast the whole bf16 decode graph."""
+    rows = jnp.take(p["qweight"], idx, axis=0).astype(jnp.float32)
+    rows = rows * jnp.take(p["qscale"], idx, axis=0)[..., None]
+    return rows.astype(p["qdtype"].dtype) if "qdtype" in p else rows
 
 
 def int8_dot_rows(x: jax.Array, qw: jax.Array, qs: jax.Array) -> jax.Array:

@@ -516,8 +516,6 @@ def flash_attention_compatible(q: jax.Array, k: jax.Array, v: jax.Array,
     suit the kernel, None → XLA fallback (disable_flash parity)."""
     if q.shape[-1] > 256:
         return None
-    if k.shape[1] not in (1, q.shape[1]):
-        return None  # grouped-query KV: only the XLA fold path serves it
     if mask is not None:
         if mask.ndim != 4 or mask.shape[-1] != k.shape[-2]:
             return None
@@ -534,4 +532,15 @@ def flash_attention_compatible(q: jax.Array, k: jax.Array, v: jax.Array,
     # dominates; let XLA fuse instead
     if q.shape[-2] * k.shape[-2] < 16 * 128:
         return None
+    if k.shape[1] not in (1, q.shape[1]):
+        # grouped-query KV: the kernel serves MQA (hk=1) and full-head
+        # layouts natively; for grouped layouts repeat K/V to full heads
+        # HERE — at prefill/training sizes (we are past the tiny-problem
+        # gate) the O(s) repeat is far cheaper than the XLA fallback's
+        # O(s²) materialised scores, while single-token decode steps have
+        # already fallen through to the XLA path, whose head fold reads
+        # the cache without any repeat
+        g = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, g, axis=1)
+        v = jnp.repeat(v, g, axis=1)
     return flash_sdpa(q, k, v, mask, causal)

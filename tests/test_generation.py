@@ -558,7 +558,7 @@ def test_int8_serving_params_close_to_exact():
 
     model, params, img = _model_and_inputs()
     # tiny dims: quantize everything 2-D so the test exercises the form
-    dec_q = int8_serving_params(params["decoder"], min_elems=1)
+    dec_q = int8_serving_params(model.decoder, params["decoder"], min_elems=1)
     pq = dict(params)
     pq["decoder"] = dec_q
 

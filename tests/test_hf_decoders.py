@@ -444,7 +444,8 @@ def test_hf_gpt2_int8_serving_generate():
         model = VisionEncoderDecoder(ved_cfg, decoder=dec)
         params = model.init(jax.random.PRNGKey(2))
         pq = dict(params)
-        pq["decoder"] = int8_serving_params(params["decoder"], min_elems=1)
+        pq["decoder"] = int8_serving_params(model.decoder, params["decoder"],
+                                            min_elems=1)
         # the tied wte (vocab x 32) must be in int8 form
         assert "qweight" in pq["decoder"]["transformer"]["wte"]
 

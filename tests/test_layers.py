@@ -376,3 +376,26 @@ def test_int8_dot_rows_accuracy():
     ref = np.asarray(x @ w.T)
     denom = np.abs(ref).max()
     assert np.abs(y - ref).max() < 0.03 * denom, np.abs(y - ref).max()
+
+
+def test_embedding_rows_preserves_storage_dtype():
+    """The int8 serving gather must return rows in the ORIGINAL storage
+    dtype (qdtype marker) — an f32 return would upcast the whole bf16
+    decode graph."""
+    from image2text_tpu.nn.modules import Embedding
+    from image2text_tpu.models.quantization import int8_serving_params
+
+    emb = Embedding(64, 16)
+    p = emb.init(KEY)
+    p = {"weight": p["weight"].astype(jnp.bfloat16)}
+
+    class Root:
+        _children = {"emb": emb}
+
+    pq = int8_serving_params(Root(), {"emb": p}, min_elems=1)["emb"]
+    assert pq["qweight"].dtype == jnp.int8
+    rows = emb(pq, jnp.asarray([1, 3]))
+    assert rows.dtype == jnp.bfloat16
+    ref = np.asarray(p["weight"][jnp.asarray([1, 3])], np.float32)
+    got = np.asarray(rows, np.float32)
+    assert np.abs(got - ref).max() < 0.02 * (np.abs(ref).max() + 1e-9)

@@ -163,7 +163,8 @@ def main(batch: int):
     from image2text_tpu.models.quantization import int8_serving_params
 
     params_w8 = dict(params)
-    params_w8["decoder"] = int8_serving_params(params["decoder"])
+    params_w8["decoder"] = int8_serving_params(model.decoder,
+                                               params["decoder"])
     variants["decode_w8a8"] = (decode_loop(MAX_STEPS_LO, True, "int8"),
                                decode_loop(MAX_STEPS_HI, True, "int8"),
                                (params_w8, enc_out))
