@@ -38,12 +38,29 @@ def sdpa(
     causal bias — as an intent flag it lets the flash kernel apply the mask
     in-kernel instead of streaming an O(s²) bias array.
     """
-    if use_flash and dropout_rate == 0.0:
+    if use_flash:
         from image2text_tpu.ops.flash_attention import flash_attention_compatible
 
-        out = flash_attention_compatible(q, k, v, mask, causal)
-        if out is not None:
-            return out
+        if not (ctx.train and dropout_rate > 0.0):
+            out = flash_attention_compatible(q, k, v, mask, causal)
+            if out is not None:
+                return out
+        elif ctx.rng is not None:
+            # training with probability dropout: the kernels apply a
+            # deterministic seed-derived keep mask in fwd AND bwd (torch
+            # fused-SDPA dropout_p parity at the distribution level; the
+            # XLA path draws a different — equally Bernoulli — mask).
+            # Consume the ctx stream exactly like nn.core.dropout so the
+            # downstream rng stream is unaffected by the dispatch choice.
+            ctx, key = ctx.split()
+            seed = jax.random.randint(key, (), -2 ** 31, 2 ** 31 - 1,
+                                      jnp.int32)
+            out = flash_attention_compatible(q, k, v, mask, causal,
+                                             dropout_rate, seed)
+            if out is not None:
+                return out
+            # declined: fall through to the XLA path, which draws its own
+            # mask from the (already advanced) ctx stream
 
     if causal:
         cb = causal_bias(q.shape[-2], k.shape[-2])

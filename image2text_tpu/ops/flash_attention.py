@@ -51,6 +51,30 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def dropout_keep_mask(rows, cols, plane, seed, rate: float) -> jax.Array:
+    """Deterministic 0/1 keep mask over GLOBAL score coordinates.
+
+    A counter-based integer hash (murmur3 finalizer over
+    row/col/plane/seed) rather than a stateful PRNG, so the exact same
+    mask is (a) regenerable inside the backward kernels from the saved
+    seed — no (sq, skv) mask array ever touches HBM — and (b) computable
+    in pure jnp for bitwise parity tests against the kernels.  Plane is
+    the flattened batch*head index; seed varies per call.  Keep
+    probability is (1 - rate) to within 2^-32."""
+    x = (rows.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+         ^ cols.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+         ^ plane.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)
+         ^ seed.astype(jnp.uint32))
+    x ^= x >> 16
+    x *= jnp.uint32(0x7FEB352D)
+    x ^= x >> 15
+    x *= jnp.uint32(0x846CA68B)
+    x ^= x >> 16
+    threshold = jnp.uint32(min(int(round((1.0 - rate) * 2.0 ** 32)),
+                               2 ** 32 - 1))
+    return (x < threshold).astype(jnp.float32)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -156,9 +180,10 @@ def _interpret() -> bool:
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref,
+def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, seed_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, scale, kv_blocks, bq, bk, causal,
-                diag):
+                diag, rate):
+    ibh = pl.program_id(0)
     ik = pl.program_id(2)
     iq = pl.program_id(1)
 
@@ -195,8 +220,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref,
         m_safe = jnp.maximum(m_new[:, :1], NEG_BIG)
         p = jnp.exp(s - m_safe)
         alpha = jnp.exp(jnp.maximum(m_prev, NEG_BIG) - m_safe)
+        # the softmax DENOMINATOR accumulates pre-dropout p (torch drops
+        # the normalised probabilities); only the value accumulation sees
+        # the inverted-dropout mask
         l_new = alpha * l_prev + jnp.broadcast_to(
             jnp.sum(p, axis=-1, keepdims=True), l_prev.shape)
+        if rate > 0.0:
+            rows_g = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            cols_g = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            keep = dropout_keep_mask(rows_g, cols_g, ibh, seed_ref[0, 0], rate)
+            p = p * keep * (1.0 / (1.0 - rate))
         acc = acc_scr[:] * alpha[:, :1] + jax.lax.dot_general(
             p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -214,12 +247,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref,
         lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref[0].shape)
 
 
-def _flash_forward(q, k, v, bias, causal: bool, block_q: int, block_k: int):
+def _seed_arr(seed):
+    """(1, 1) int32 seed plane for the kernels' SMEM scalar input."""
+    if seed is None:
+        return jnp.zeros((1, 1), jnp.int32)
+    return jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+
+_SEED_SPEC_ARGS = ((1, 1), lambda *ids: (0, 0))
+
+
+def _flash_forward(q, k, v, bias, causal: bool, block_q: int, block_k: int,
+                   rate: float = 0.0, seed=None):
     pr = _prepare(q, k, v, bias, block_q, block_k)
     grid = (pr.b * pr.h, pr.sq_p // pr.bq, pr.skv_p // pr.bk)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=pr.scale, kv_blocks=grid[2],
-                          bq=pr.bq, bk=pr.bk, causal=causal, diag=pr.diag),
+                          bq=pr.bq, bk=pr.bk, causal=causal, diag=pr.diag,
+                          rate=rate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, pr.bq, pr.d_p), pr.q_idx(),
@@ -229,6 +274,7 @@ def _flash_forward(q, k, v, bias, causal: bool, block_q: int, block_k: int):
             pl.BlockSpec((1, pr.bk, pr.d_p), pr.kv_idx(),
                          memory_space=pltpu.VMEM),
             pr.bias_spec(),
+            pl.BlockSpec(*_SEED_SPEC_ARGS, memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, pr.bq, pr.d_p), pr.q_idx(),
@@ -253,17 +299,20 @@ def _flash_forward(q, k, v, bias, causal: bool, block_q: int, block_k: int):
             transcendentals=pr.b * pr.h * pr.sq_p * pr.skv_p,
         ),
         interpret=_interpret(),
-    )(pr.qp, pr.kp, pr.vp, pr.bias)
+    )(pr.qp, pr.kp, pr.vp, pr.bias, _seed_arr(seed))
     return out, lse, pr
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "causal"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "causal", "rate"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: Optional[jax.Array] = None, causal: bool = False,
-                    block_q: int = 512, block_k: int = 1024) -> jax.Array:
+                    block_q: int = 512, block_k: int = 1024,
+                    rate: float = 0.0, seed=None) -> jax.Array:
     """q (b, h, sq, d); k/v (b, hk, skv, d), hk ∈ {h, 1}; additive bias
     broadcastable to (b, h, sq, skv).  Returns (b, h, sq, d) in q.dtype."""
-    out, _, pr = _flash_forward(q, k, v, bias, causal, block_q, block_k)
+    out, _, pr = _flash_forward(q, k, v, bias, causal, block_q, block_k,
+                                rate, seed)
     return out.reshape(pr.b, pr.h, pr.sq_p, pr.d_p)[:, :, :pr.sq, :pr.d]
 
 
@@ -272,8 +321,15 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _recompute_p_ds(q, k, v, do, b_blk, lse, dvec, *, scale, causal, iq, ik,
-                    bq, bk, diag):
-    """Shared recompute: probabilities P and score grads dS for one tile."""
+                    bq, bk, diag, rate, seed, ibh):
+    """Shared recompute for one tile: dropped probabilities P̃ (what the
+    forward multiplied into V — feeds dV) and score grads dS.
+
+    With inverted dropout out = (M ∘ P) @ V / keep, the chain rule gives
+    dP = M ∘ (dO Vᵀ) / keep and dS = P ∘ (dP − D) with
+    D = rowsum(P ∘ dP) = rowsum(dO ∘ O) — the same D as the no-dropout
+    case, so the precomputed dvec needs no change.  The mask is
+    regenerated from (coords, seed), never stored."""
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -286,13 +342,21 @@ def _recompute_p_ds(q, k, v, do, b_blk, lse, dvec, *, scale, causal, iq, ik,
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # (bq, bk)
-    ds = p * (dp - dvec)
+    if rate > 0.0:
+        rows_g = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols_g = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        keep = dropout_keep_mask(rows_g, cols_g, ibh, seed, rate)
+        inv_keep = 1.0 / (1.0 - rate)
+        ds = p * (keep * dp * inv_keep - dvec)
+        p = p * keep * inv_keep
+    else:
+        ds = p * (dp - dvec)
     return p, ds
 
 
 def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, b_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, q_blocks, bq,
-                    bk, causal, diag):
+                    seed_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale,
+                    q_blocks, bq, bk, causal, diag, rate):
     ibh, j, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(i == 0)
@@ -312,7 +376,8 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, b_ref,
         dvec = dvec_ref[0, 0, :].reshape(bq, 1)
         p, ds = _recompute_p_ds(q, k_ref[0], v_ref[0], do, b_ref[0], lse,
                                 dvec, scale=scale, causal=causal, iq=i, ik=j,
-                                bq=bq, bk=bk, diag=diag)
+                                bq=bq, bk=bk, diag=diag, rate=rate,
+                                seed=seed_ref[0, 0], ibh=ibh)
         dv_scr[:] += jax.lax.dot_general(
             p, do, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # (bk, d)
@@ -328,7 +393,8 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, b_ref,
 
 
 def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, b_ref,
-                   dq_ref, dq_scr, *, scale, kv_blocks, bq, bk, causal, diag):
+                   seed_ref, dq_ref, dq_scr, *, scale, kv_blocks, bq, bk,
+                   causal, diag, rate):
     ibh, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
@@ -349,7 +415,8 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, b_ref,
         dvec = dvec_ref[0, 0, :].reshape(bq, 1)
         _, ds = _recompute_p_ds(q, k_ref[0], v_ref[0], do, b_ref[0], lse,
                                 dvec, scale=scale, causal=causal, iq=i, ik=j,
-                                bq=bq, bk=bk, diag=diag)
+                                bq=bq, bk=bk, diag=diag, rate=rate,
+                                seed=seed_ref[0, 0], ibh=ibh)
         dq_scr[:] += jax.lax.dot_general(
             ds, k_ref[0].astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -361,9 +428,11 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, b_ref,
 
 
 def _flash_backward(q, k, v, bias, causal, out, lse, g,
-                    block_q: int = 256, block_k: int = 512):
+                    block_q: int = 256, block_k: int = 512,
+                    rate: float = 0.0, seed=None):
     """lse is the UNPADDED (b, h, sq) logsumexp from the forward."""
     pr = _prepare(q, k, v, bias, block_q, block_k)
+    seed_plane = _seed_arr(seed)
     b, h, hk = pr.b, pr.h, pr.hk
     dop = jnp.pad(g, ((0, 0), (0, 0), (0, pr.sq_p - pr.sq),
                       (0, pr.d_p - pr.d))).reshape(b * h, pr.sq_p, pr.d_p)
@@ -402,7 +471,8 @@ def _flash_backward(q, k, v, bias, causal, out, lse, g,
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=pr.scale, q_blocks=nq,
-                          bq=pr.bq, bk=pr.bk, causal=causal, diag=pr.diag),
+                          bq=pr.bq, bk=pr.bk, causal=causal, diag=pr.diag,
+                          rate=rate),
         grid=(b * h, nkv, nq),
         in_specs=[
             mk(common_in[0], q_map_kv),
@@ -413,6 +483,7 @@ def _flash_backward(q, k, v, bias, causal, out, lse, g,
             mk(common_in[5], kv_map_kv),
             pl.BlockSpec((1, pr.bq if pr.bias_rows > 1 else 1, pr.bk),
                          bias_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec(*_SEED_SPEC_ARGS, memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, pr.bk, pr.d_p), lambda ibh, j, i: (ibh, j, 0),
@@ -429,7 +500,7 @@ def _flash_backward(q, k, v, bias, causal, out, lse, g,
             pltpu.VMEM((pr.bk, pr.d_p), jnp.float32),
         ],
         interpret=_interpret(),
-    )(pr.qp, dop, lse, dvec, pr.kp, pr.vp, pr.bias)
+    )(pr.qp, dop, lse, dvec, pr.kp, pr.vp, pr.bias, seed_plane)
 
     # ---- dQ: grid (bh, q, kv) ---------------------------------------------
     q_map_q = lambda ibh, i, j: (ibh, i, 0)
@@ -441,7 +512,8 @@ def _flash_backward(q, k, v, bias, causal, out, lse, g,
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=pr.scale, kv_blocks=nkv,
-                          bq=pr.bq, bk=pr.bk, causal=causal, diag=pr.diag),
+                          bq=pr.bq, bk=pr.bk, causal=causal, diag=pr.diag,
+                          rate=rate),
         grid=(b * h, nq, nkv),
         in_specs=[
             mk(common_in[0], q_map_q),
@@ -452,6 +524,7 @@ def _flash_backward(q, k, v, bias, causal, out, lse, g,
             mk(common_in[5], kv_map_q),
             pl.BlockSpec((1, pr.bq if pr.bias_rows > 1 else 1, pr.bk),
                          bias_map_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec(*_SEED_SPEC_ARGS, memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, pr.bq, pr.d_p),
                                lambda ibh, i, j: (ibh, i, 0),
@@ -459,7 +532,7 @@ def _flash_backward(q, k, v, bias, causal, out, lse, g,
         out_shape=jax.ShapeDtypeStruct((b * h, pr.sq_p, pr.d_p), jnp.float32),
         scratch_shapes=[pltpu.VMEM((pr.bq, pr.d_p), jnp.float32)],
         interpret=_interpret(),
-    )(pr.qp, dop, lse, dvec, pr.kp, pr.vp, pr.bias)
+    )(pr.qp, dop, lse, dvec, pr.kp, pr.vp, pr.bias, seed_plane)
 
     dq = dq.reshape(b, h, pr.sq_p, pr.d_p)[:, :, :pr.sq, :pr.d].astype(q.dtype)
     dk = dk.reshape(b, h, pr.skv_p, pr.d_p)[:, :, :pr.skv, :pr.d]
@@ -479,9 +552,14 @@ def _xla_attention(q, k, v, bias):
     return sdpa(q, k, v, mask=bias, use_flash=False)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def flash_sdpa(q, k, v, bias, causal):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_sdpa(q, k, v, bias, causal, rate: float = 0.0, seed=None):
     """Flash forward + flash backward.
+
+    ``rate``/``seed`` enable in-kernel attention-probability dropout
+    (torch SDPA ``dropout_p`` parity): the deterministic keep mask (see
+    :func:`dropout_keep_mask`) is regenerated inside the backward kernels
+    from the saved seed, so no (sq, skv) mask ever materialises.
 
     LIMITATION: the backward returns ZERO bias gradients (the recompute
     kernels never materialise dS summed to the bias shape).  Every bias in
@@ -489,21 +567,26 @@ def flash_sdpa(q, k, v, bias, causal):
     stop_gradients the mask so the limitation cannot silently detrain a
     learned bias — a differentiable bias must use the XLA path
     (``use_flash=False``)."""
-    return flash_attention(q, k, v, bias, causal=causal)
+    out, _, pr = _flash_forward(q, k, v, bias, causal, 512, 1024, rate, seed)
+    return out.reshape(pr.b, pr.h, pr.sq_p, pr.d_p)[:, :, :pr.sq, :pr.d]
 
 
-def _flash_sdpa_fwd(q, k, v, bias, causal):
-    out, lse, pr = _flash_forward(q, k, v, bias, causal, 512, 1024)
+def _flash_sdpa_fwd(q, k, v, bias, causal, rate, seed=None):
+    out, lse, pr = _flash_forward(q, k, v, bias, causal, 512, 1024, rate,
+                                  seed)
     out_c = out.reshape(pr.b, pr.h, pr.sq_p, pr.d_p)[:, :, :pr.sq, :pr.d]
     lse_c = lse[:, 0, :pr.sq].reshape(pr.b, pr.h, pr.sq)
-    return out_c, (q, k, v, bias, out_c, lse_c)
+    return out_c, (q, k, v, bias, out_c, lse_c, seed)
 
 
-def _flash_sdpa_bwd(causal, res, g):
-    q, k, v, bias, out, lse = res
-    dq, dk, dv = _flash_backward(q, k, v, bias, causal, out, lse, g)
+def _flash_sdpa_bwd(causal, rate, res, g):
+    q, k, v, bias, out, lse, seed = res
+    dq, dk, dv = _flash_backward(q, k, v, bias, causal, out, lse, g,
+                                 rate=rate, seed=seed)
     db = None if bias is None else jnp.zeros_like(bias)
-    return dq, dk, dv, db
+    dseed = None if seed is None else jnp.zeros(
+        jnp.shape(seed), jax.dtypes.float0)
+    return dq, dk, dv, db, dseed
 
 
 flash_sdpa.defvjp(_flash_sdpa_fwd, _flash_sdpa_bwd)
@@ -511,9 +594,13 @@ flash_sdpa.defvjp(_flash_sdpa_fwd, _flash_sdpa_bwd)
 
 def flash_attention_compatible(q: jax.Array, k: jax.Array, v: jax.Array,
                                mask: Optional[jax.Array],
-                               causal: bool = False) -> Optional[jax.Array]:
+                               causal: bool = False, rate: float = 0.0,
+                               seed=None) -> Optional[jax.Array]:
     """Dispatch gate for ops/attention.sdpa: flash result when the shapes
-    suit the kernel, None → XLA fallback (disable_flash parity)."""
+    suit the kernel, None → XLA fallback (disable_flash parity).
+
+    ``rate``/``seed`` request in-kernel attention-probability dropout
+    (training path); seed must be provided whenever rate > 0."""
     if q.shape[-1] > 256:
         return None
     if mask is not None:
@@ -543,4 +630,4 @@ def flash_attention_compatible(q: jax.Array, k: jax.Array, v: jax.Array,
         g = q.shape[1] // k.shape[1]
         k = jnp.repeat(k, g, axis=1)
         v = jnp.repeat(v, g, axis=1)
-    return flash_sdpa(q, k, v, mask, causal)
+    return flash_sdpa(q, k, v, mask, causal, rate, seed)

@@ -223,3 +223,110 @@ def test_flash_rejects_partial_row_bias():
     bad = jnp.zeros((1, 1, 32, 128))
     with pytest.raises(AssertionError, match="query dim"):
         flash_sdpa(q, k, v, bad, False)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel dropout (training path)
+# ---------------------------------------------------------------------------
+
+def _ref_dropout_attention(q, k, v, bias, causal, rate, seed):
+    """Pure-jnp reference using the SAME deterministic keep mask the
+    kernels regenerate from (coords, seed) — flash must match it exactly
+    (up to accumulation order), which pins both the hash and the
+    drop-after-softmax semantics."""
+    from image2text_tpu.ops.flash_attention import dropout_keep_mask
+
+    b, h, sq, d = q.shape
+    skv = k.shape[-2]
+    scale = 1.0 / np.sqrt(d)
+    kb = jnp.broadcast_to(k, (b, h, skv, d)).astype(jnp.float32)
+    scores = jnp.einsum("bhsd,bhld->bhsl", q.astype(jnp.float32),
+                        kb) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    if causal:
+        scores = scores + causal_bias(sq, skv)
+    p = jax.nn.softmax(scores, axis=-1)
+    rows = jnp.arange(sq).reshape(1, 1, sq, 1)
+    cols = jnp.arange(skv).reshape(1, 1, 1, skv)
+    plane = (jnp.arange(b).reshape(b, 1, 1, 1) * h
+             + jnp.arange(h).reshape(1, h, 1, 1))
+    keep = dropout_keep_mask(rows, cols, plane, seed, rate)
+    pd = p * keep / (1.0 - rate)
+    vv = v if v.shape[1] == h else jnp.broadcast_to(v, (b, h, skv, d))
+    return jnp.einsum("bhsl,bhld->bhsd", pd.astype(q.dtype), vv)
+
+
+@pytest.mark.parametrize("hk,causal", [(4, False), (1, True)])
+def test_flash_dropout_matches_hash_reference(hk, causal):
+    b, h, sq, skv, d = 2, 4, 64, 96, 32
+    q, k, v = _rand((b, h, sq, d), 0), _rand((b, hk, skv, d), 1), \
+        _rand((b, hk, skv, d), 2)
+    rate = 0.3
+    seed = jnp.asarray(12345, jnp.int32)
+    ours = flash_sdpa(q, k, v, None, causal, rate, seed)
+    ref = _ref_dropout_attention(q, k, v, None, causal, rate, seed)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+    # determinism: same seed, same mask
+    again = flash_sdpa(q, k, v, None, causal, rate, seed)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(again))
+    # different seed, different mask
+    other = flash_sdpa(q, k, v, None, causal, rate,
+                       jnp.asarray(54321, jnp.int32))
+    assert not np.allclose(np.asarray(ours), np.asarray(other))
+
+
+def test_flash_dropout_grads_match_hash_reference():
+    b, h, sq, skv, d = 1, 2, 48, 64, 32
+    q, k, v = _rand((b, h, sq, d), 3), _rand((b, h, skv, d), 4), \
+        _rand((b, h, skv, d), 5)
+    rate = 0.25
+    seed = jnp.asarray(777, jnp.int32)
+    cot = _rand((b, h, sq, d), 6)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_sdpa(q, k, v, None, False, rate, seed) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            _ref_dropout_attention(q, k, v, None, False, rate, seed) * cot)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_flash_dropout_keep_fraction_and_mean():
+    """Empirical keep fraction ≈ 1-rate and E[dropout(p)] ≈ p."""
+    from image2text_tpu.ops.flash_attention import dropout_keep_mask
+
+    rows = jnp.arange(256).reshape(-1, 1)
+    cols = jnp.arange(256).reshape(1, -1)
+    keep = dropout_keep_mask(rows, cols, jnp.asarray(0), jnp.asarray(99), 0.3)
+    frac = float(keep.mean())
+    assert abs(frac - 0.7) < 0.02, frac
+
+
+def test_sdpa_trains_through_flash_with_dropout():
+    """The dispatch path: sdpa(train ctx, dropout>0, use_flash) must run
+    the kernel (non-identical to the no-dropout output) and produce
+    finite grads."""
+    from image2text_tpu.nn.core import Ctx
+
+    b, h, sq, d = 2, 4, 64, 32
+    q, k, v = _rand((b, h, sq, d), 7), _rand((b, h, sq, d), 8), \
+        _rand((b, h, sq, d), 9)
+    ctx = Ctx(rng=jax.random.PRNGKey(0), train=True)
+    out = sdpa(q, k, v, dropout_rate=0.4, ctx=ctx, use_flash=True)
+    base = sdpa(q, k, v, dropout_rate=0.0, use_flash=True)
+    assert not np.allclose(np.asarray(out), np.asarray(base))
+
+    def loss(q):
+        return jnp.sum(sdpa(q, k, v, dropout_rate=0.4, ctx=ctx,
+                            use_flash=True))
+
+    g = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(g)).all()
