@@ -11,7 +11,7 @@ cd "$(dirname "$0")"
 python -m pytest tests/ -x -q
 
 # 2. driver entry points: single-chip forward compile + multichip dry run
-#    (tiny full-featured step, then the flagship 12L/1024d shapes)
+#    (tiny full-featured step, then flagship dims at 2L — see __graft_entry__)
 XLA_FLAGS="--xla_force_host_platform_device_count=8" JAX_PLATFORMS=cpu \
     python __graft_entry__.py
 
