@@ -45,7 +45,9 @@ def sdpa(
             out = flash_attention_compatible(q, k, v, mask, causal)
             if out is not None:
                 return out
-        elif ctx.rng is not None:
+        elif ctx.rng is not None and dropout_rate < 1.0:
+            # (rate >= 1 drops everything — only the XLA path's
+            # jnp.where returns the all-zeros torch F.dropout(p=1) result)
             # training with probability dropout: the kernels apply a
             # deterministic seed-derived keep mask in fwd AND bwd (torch
             # fused-SDPA dropout_p parity at the distribution level; the

@@ -247,9 +247,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, seed_ref, o_ref, lse_ref,
         lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref[0].shape)
 
 
-def _seed_arr(seed):
+def _seed_arr(seed, rate: float = 0.0):
     """(1, 1) int32 seed plane for the kernels' SMEM scalar input."""
     if seed is None:
+        # a silent constant-0 seed would apply the SAME keep mask every
+        # training step — structured, never-resampled sparsity, not dropout
+        assert rate == 0.0, "dropout rate > 0 requires an explicit seed"
         return jnp.zeros((1, 1), jnp.int32)
     return jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
@@ -259,6 +262,10 @@ _SEED_SPEC_ARGS = ((1, 1), lambda *ids: (0, 0))
 
 def _flash_forward(q, k, v, bias, causal: bool, block_q: int, block_k: int,
                    rate: float = 0.0, seed=None):
+    assert 0.0 <= rate < 1.0, (
+        f"flash dropout rate must be in [0, 1) (got {rate}); rate >= 1 "
+        "drops every probability — use the XLA path for that degenerate "
+        "case")
     pr = _prepare(q, k, v, bias, block_q, block_k)
     grid = (pr.b * pr.h, pr.sq_p // pr.bq, pr.skv_p // pr.bk)
     out, lse = pl.pallas_call(
@@ -299,7 +306,7 @@ def _flash_forward(q, k, v, bias, causal: bool, block_q: int, block_k: int,
             transcendentals=pr.b * pr.h * pr.sq_p * pr.skv_p,
         ),
         interpret=_interpret(),
-    )(pr.qp, pr.kp, pr.vp, pr.bias, _seed_arr(seed))
+    )(pr.qp, pr.kp, pr.vp, pr.bias, _seed_arr(seed, rate))
     return out, lse, pr
 
 
@@ -432,7 +439,7 @@ def _flash_backward(q, k, v, bias, causal, out, lse, g,
                     rate: float = 0.0, seed=None):
     """lse is the UNPADDED (b, h, sq) logsumexp from the forward."""
     pr = _prepare(q, k, v, bias, block_q, block_k)
-    seed_plane = _seed_arr(seed)
+    seed_plane = _seed_arr(seed, rate)
     b, h, hk = pr.b, pr.h, pr.hk
     dop = jnp.pad(g, ((0, 0), (0, 0), (0, pr.sq_p - pr.sq),
                       (0, pr.d_p - pr.d))).reshape(b * h, pr.sq_p, pr.d_p)
@@ -567,8 +574,8 @@ def flash_sdpa(q, k, v, bias, causal, rate: float = 0.0, seed=None):
     stop_gradients the mask so the limitation cannot silently detrain a
     learned bias — a differentiable bias must use the XLA path
     (``use_flash=False``)."""
-    out, _, pr = _flash_forward(q, k, v, bias, causal, 512, 1024, rate, seed)
-    return out.reshape(pr.b, pr.h, pr.sq_p, pr.d_p)[:, :, :pr.sq, :pr.d]
+    return flash_attention(q, k, v, bias, causal=causal, rate=rate,
+                           seed=seed)
 
 
 def _flash_sdpa_fwd(q, k, v, bias, causal, rate, seed=None):

@@ -300,7 +300,8 @@ def test_flash_dropout_grads_match_hash_reference():
 
 
 def test_flash_dropout_keep_fraction_and_mean():
-    """Empirical keep fraction ≈ 1-rate and E[dropout(p)] ≈ p."""
+    """Empirical keep fraction ≈ 1-rate and E[dropout(p)] ≈ p (the
+    inverted 1/(1-rate) scaling preserves the mean)."""
     from image2text_tpu.ops.flash_attention import dropout_keep_mask
 
     rows = jnp.arange(256).reshape(-1, 1)
@@ -308,6 +309,18 @@ def test_flash_dropout_keep_fraction_and_mean():
     keep = dropout_keep_mask(rows, cols, jnp.asarray(0), jnp.asarray(99), 0.3)
     frac = float(keep.mean())
     assert abs(frac - 0.7) < 0.02, frac
+    # mean preservation through the kernel: average the dropped attention
+    # output over many seeds; it must approach the no-dropout output
+    b, h, sq, skv, d = 1, 1, 32, 48, 32
+    q, k, v = _rand((b, h, sq, d), 20), _rand((b, h, skv, d), 21), \
+        _rand((b, h, skv, d), 22)
+    base = np.asarray(flash_sdpa(q, k, v, None, False))
+    acc = np.zeros_like(base)
+    n = 24
+    for s in range(n):
+        acc += np.asarray(flash_sdpa(q, k, v, None, False, 0.3,
+                                     jnp.asarray(1000 + s, jnp.int32)))
+    np.testing.assert_allclose(acc / n, base, atol=0.2, rtol=0.25)
 
 
 def test_sdpa_trains_through_flash_with_dropout():
@@ -330,3 +343,30 @@ def test_sdpa_trains_through_flash_with_dropout():
 
     g = jax.grad(loss)(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_flash_dropout_multiblock_fwd_and_grads():
+    """Sequence lengths spanning MULTIPLE kernel tiles (fwd 512/1024 vs bwd
+    256/512 blocks): the global-coordinate mask reconstruction must agree
+    between forward, both backward kernels, and the jnp reference — a
+    local-vs-global coordinate bug would silently corrupt gradients at
+    flagship training lengths while all single-tile tests pass."""
+    b, h, sq, skv, d = 1, 2, 520, 1030, 32
+    q, k, v = _rand((b, h, sq, d), 10), _rand((b, h, skv, d), 11), \
+        _rand((b, h, skv, d), 12)
+    rate = 0.2
+    seed = jnp.asarray(31337, jnp.int32)
+    ours = flash_sdpa(q, k, v, None, False, rate, seed)
+    ref = _ref_dropout_attention(q, k, v, None, False, rate, seed)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+    cot = _rand((b, h, sq, d), 13)
+    g_flash = jax.grad(lambda q, k, v: jnp.sum(
+        flash_sdpa(q, k, v, None, False, rate, seed) * cot),
+        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(
+        _ref_dropout_attention(q, k, v, None, False, rate, seed) * cot),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
