@@ -80,7 +80,13 @@ def _build():
         make_train_step(wrapper, tx, accum_steps=1, precision=cfg.precision,
                         use_flash=not cfg.disable_flash),
         donate_argnums=(0,))
-    return cfg, state, step_fn
+    # the same step with the XLA attention path, for the end-to-end
+    # flash-vs-XLA comparison point (compiled lazily on first call)
+    step_nf = jax.jit(
+        make_train_step(wrapper, tx, accum_steps=1, precision=cfg.precision,
+                        use_flash=False),
+        donate_argnums=(0,))
+    return cfg, state, step_fn, step_nf
 
 
 def _inputs(cfg, batch, seed=0):
@@ -139,7 +145,7 @@ def main():
                   flush=True)
             time.sleep(30)
 
-    cfg, state, step_fn = _build()
+    cfg, state, step_fn, step_nf = _build()
     rng = jax.random.PRNGKey(0)
 
     scaling = []
@@ -172,6 +178,23 @@ def main():
         dts.append(dt)
     step_ms = sorted(dts)[1] / iters * 1000.0
     tok_per_sec = tokens_by_batch[best] / (step_ms / 1e3)
+
+    # ---- flash vs XLA attention at the real model (same batch) -------------
+    # the kernels' training-path value measured end-to-end (with in-kernel
+    # dropout; the disable_flash path materialises O(s^2) scores fwd+bwd)
+    step_ms_noflash = None
+    try:
+        state, m = step_nf(state, images, labels, rng)  # warm/compile
+        _fence(state, m)
+        nf = []
+        for _ in range(3):
+            dt, state, _ = _timed_window(step_nf, state, images, labels,
+                                         rng, iters)
+            nf.append(dt)
+        step_ms_noflash = sorted(nf)[1] / iters * 1000.0
+    except Exception as e:
+        print(f"# noflash comparison failed: {type(e).__name__}: {e}",
+              flush=True)
 
     # ---- FLOP accounting ---------------------------------------------------
     flops_xla = None
@@ -216,6 +239,10 @@ def main():
         "value": round(tok_per_sec),
         "unit": "tokens/s",
         "step_ms": round(step_ms, 2),
+        "step_ms_noflash": (round(step_ms_noflash, 2)
+                            if step_ms_noflash else None),
+        "flash_speedup": (round(step_ms_noflash / step_ms, 2)
+                          if step_ms_noflash else None),
         "steps_per_sec": round(steps_per_sec, 2),
         "batch": best,
         "seq_len": int(labels.shape[1]),
