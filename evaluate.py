@@ -50,6 +50,15 @@ def main(args):
         allow_fallback=config.dataset == "synthetic")
     model = VisionEncoderDecoder(config.model)
     params = model.init(jax.random.PRNGKey(config.seed))
+    if args.int8_serving:
+        # full int8 serving: W8A8 decoder weights; generation paths also
+        # get cross_kv_quant="int8" below.  Lossy — useful for measuring
+        # the serving mode's caption-quality cost on real data
+        from image2text_tpu.models.quantization import int8_serving_params
+
+        params = dict(params)
+        params["decoder"] = int8_serving_params(model.decoder,
+                                                params["decoder"])
 
     from image2text_tpu.training.data import normalize_label
 
@@ -68,7 +77,8 @@ def main(args):
             model, beam_width=args.num_candidates, temperature=args.temperature,
             top_k=args.top_k, max_new_tokens=max_new, eos_token_id=eos,
             no_repeat_n_grams=tuple(config.model.no_repeat_n_grams),
-            consolidation_temperature=0.0)
+            consolidation_temperature=0.0,
+            cross_kv_quant="int8" if args.int8_serving else None)
 
     cands, refs = [], []
     rng = jax.random.PRNGKey(config.seed + 123)
@@ -95,10 +105,10 @@ def main(args):
                 # best-of-N would inflate vs the standard protocol
                 x = jnp.broadcast_to(img,
                                      (args.num_candidates, *img.shape[1:]))
-                out = model.generate(params, x, prompt,
-                                     max_new_tokens=max_new,
-                                     temperature=args.temperature,
-                                     top_k=args.top_k, rng=k)
+                out = model.generate(
+                    params, x, prompt, max_new_tokens=max_new,
+                    temperature=args.temperature, top_k=args.top_k, rng=k,
+                    cross_kv_quant="int8" if args.int8_serving else None)
                 best = np.asarray(out[0, 1:])
             cand = _strip(best, eos)
             cands.append(cand)
@@ -126,6 +136,9 @@ def parse_args(argv=None):
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=16)
     p.add_argument("--beam_search", action="store_true")
+    p.add_argument("--int8_serving", action="store_true",
+                   help="W8A8 decoder weights + int8 cross-KV (lossy "
+                        "serving mode); measures its quality cost")
     return p.parse_args(argv)
 
 
