@@ -584,3 +584,29 @@ def test_int8_serving_params_close_to_exact():
                                         max_new_tokens=6, temperature=0.0))
     agree = (g == g_exact).mean()
     assert agree >= 0.6, f"greedy agreement {agree} (quant noise too large)"
+
+
+def test_beam_search_int8_serving_params():
+    """Beam search composes with the FULL int8 serving stack (W8A8 decoder
+    weights + int8 cross-KV): shapes hold, scores are finite, and the
+    deterministic beam tracks the exact path on a decisive model."""
+    from image2text_tpu.models.generation_utils import BeamSearchTokenGenerator
+    from image2text_tpu.models.quantization import int8_serving_params
+
+    model, params, img = _model_and_inputs()
+    pq = dict(params)
+    pq["decoder"] = int8_serving_params(model.decoder, params["decoder"],
+                                        min_elems=1)
+    gen = BeamSearchTokenGenerator(model, beam_width=2, temperature=0.0,
+                                   max_new_tokens=5, beam_expansion_factor=2,
+                                   consolidation_temperature=0.0,
+                                   cross_kv_quant="int8")
+    ids_q, sc_q = gen(pq, img, jnp.asarray([[1], [2]]))
+    assert ids_q.shape[:2] == (2, 2) and np.isfinite(np.asarray(sc_q)).all()
+    gen_exact = BeamSearchTokenGenerator(model, beam_width=2, temperature=0.0,
+                                         max_new_tokens=5,
+                                         beam_expansion_factor=2,
+                                         consolidation_temperature=0.0)
+    ids_e, _ = gen_exact(params, img, jnp.asarray([[1], [2]]))
+    agree = (np.asarray(ids_q) == np.asarray(ids_e)).mean()
+    assert agree >= 0.5, f"beam int8-serving agreement {agree}"
