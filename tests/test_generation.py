@@ -610,3 +610,24 @@ def test_beam_search_int8_serving_params():
     ids_e, _ = gen_exact(params, img, jnp.asarray([[1], [2]]))
     agree = (np.asarray(ids_q) == np.asarray(ids_e)).mean()
     assert agree >= 0.5, f"beam int8-serving agreement {agree}"
+
+
+def test_int8_serving_composes_on_encoder_subtree():
+    """The typed W8A8 transform also serves the ENCODER (serving there is
+    compute-bound — int8 doubles the MXU rate), skipping non-Linear
+    modules (ConvMLP convs, layernorms) by construction."""
+    from image2text_tpu.models.quantization import int8_serving_params
+
+    model, params, img = _model_and_inputs()
+    pq = dict(params)
+    pq["decoder"] = int8_serving_params(model.decoder, params["decoder"],
+                                        min_elems=1)
+    pq["encoder"] = int8_serving_params(model.encoder, params["encoder"],
+                                        min_elems=1)
+    prompt = jnp.ones((2, 1), jnp.int32)
+    g = np.asarray(jax.jit(lambda p, im, pr: model.generate(
+        p, im, pr, max_new_tokens=5, temperature=0.0))(pq, img, prompt))
+    assert g.shape == (2, 6)
+    g_exact = np.asarray(model.generate(params, img, prompt,
+                                        max_new_tokens=5, temperature=0.0))
+    assert (g == g_exact).mean() >= 0.5
