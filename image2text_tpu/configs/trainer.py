@@ -69,6 +69,12 @@ class TrainingConfig(BaseModel):
     # ZeRO-1: shard optimizer moments over the mesh 'data' axis (cuts
     # optimizer HBM by the dp degree; XLA all-gathers updates over ICI)
     zero_sharded_optimizer: bool = False
+    # Megatron-style sequence parallelism (requires mesh.model > 1): shard
+    # the residual stream's sequence axis over 'model' at block boundaries
+    # during training — activation/remat memory drops by the TP degree at
+    # identical numerics and ICI bytes (parallel/sharding_rules.py::
+    # set_sequence_parallel)
+    sequence_parallel: bool = False
     # bound on the outer epoch loop (TPU extension; the reference hardcodes
     # range(10000) and stops on data exhaustion — trainer.py:177.  `epochs`
     # bounds DATA epochs, which `num_steps` slices into many loop-epochs;

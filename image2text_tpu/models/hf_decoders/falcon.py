@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from image2text_tpu.nn.core import Ctx, Module, ModuleList
+from image2text_tpu.nn.core import Ctx, Module, ModuleList, sp_constrain
 from image2text_tpu.nn.modules import Embedding, LayerNorm, Linear
 from image2text_tpu.ops.attention import causal_bias, sdpa
 from image2text_tpu.models.hf_decoders.common import apply_rope, rope_cos_sin
@@ -104,12 +104,13 @@ class _FalconBlock(Module):
 
     def forward(self, p, x, positions, ctx: Ctx = Ctx(), use_flash: bool = True,
                 kv_cache=None, **kwargs):
+        x = sp_constrain(self, x, ctx, kv_cache)
         ln = self.input_layernorm(p["input_layernorm"], x)
         attn_out = self.self_attention(p["self_attention"], ln, positions,
                                        ctx=ctx.fold(1), use_flash=use_flash,
                                        kv_cache=kv_cache)
         mlp_out = self.mlp(p["mlp"], ln)   # parallel_attn: same ln input
-        return x + attn_out + mlp_out
+        return sp_constrain(self, x + attn_out + mlp_out, ctx, kv_cache)
 
 
 class FalconBackbone(Module):

@@ -15,7 +15,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from image2text_tpu.nn.core import Ctx, Module, ModuleList, dropout, normal_init
+from image2text_tpu.nn.core import (
+    Ctx,
+    Module,
+    ModuleList,
+    dropout,
+    normal_init,
+    sp_constrain,
+)
 from image2text_tpu.nn.modules import (
     Embedding,
     LayerNorm,
@@ -158,6 +165,7 @@ class _GPT2Block(Module):
 
     def forward(self, p, x, enc=None, ctx: Ctx = Ctx(), use_flash: bool = True,
                 kv_cache=None, cross_kv=None, **kwargs):
+        x = sp_constrain(self, x, ctx, kv_cache)
         x = x + self.attn(p["attn"], self.ln_1(p["ln_1"], x), ctx=ctx.fold(1),
                           use_flash=use_flash, kv_cache=kv_cache)
         if enc is not None or cross_kv is not None:
@@ -167,7 +175,7 @@ class _GPT2Block(Module):
                 enc, ctx=ctx.fold(2), use_flash=use_flash,
                 precomputed_kv=cross_kv)
         x = x + self.mlp(p["mlp"], self.ln_2(p["ln_2"], x), ctx=ctx.fold(3))
-        return x
+        return sp_constrain(self, x, ctx, kv_cache)
 
 
 class GPT2Backbone(Module):

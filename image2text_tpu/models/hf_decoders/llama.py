@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from image2text_tpu.nn.core import Ctx, Module, ModuleList, normal_init
+from image2text_tpu.nn.core import Ctx, Module, ModuleList, normal_init, \
+    sp_constrain
 from image2text_tpu.nn.modules import Embedding, Linear
 from image2text_tpu.ops.attention import causal_bias, sdpa
 from image2text_tpu.models.hf_decoders.common import (
@@ -128,13 +129,14 @@ class _LlamaBlock(Module):
 
     def forward(self, p, x, positions, ctx: Ctx = Ctx(), use_flash: bool = True,
                 kv_cache=None, **kwargs):
+        x = sp_constrain(self, x, ctx, kv_cache)
         x = x + self.self_attn(
             p["self_attn"], self.input_layernorm(p["input_layernorm"], x),
             positions, ctx=ctx.fold(1), use_flash=use_flash, kv_cache=kv_cache)
         x = x + self.mlp(
             p["mlp"], self.post_attention_layernorm(
                 p["post_attention_layernorm"], x))
-        return x
+        return sp_constrain(self, x, ctx, kv_cache)
 
 
 class LlamaBackbone(Module):

@@ -43,6 +43,7 @@ from image2text_tpu.nn.core import (
     ModuleList,
     dropout,
     normal_init,
+    sp_constrain,
     uniform_init,
 )
 from image2text_tpu.nn.modules import (
@@ -457,6 +458,7 @@ class TransformerBlock(Module):
             return self._sparse_cached_forward(
                 p, x_orig, cross_attn_inputs, attn_mask, ctx, use_flash,
                 kv_cache, cross_kv)
+        x_orig = sp_constrain(self, x_orig, ctx, kv_cache)
         if self.is_sparse:
             t = x_orig.shape[1]
             idx = self.idx_np[self.idx_np < t]
@@ -487,7 +489,7 @@ class TransformerBlock(Module):
         x = x + self.mlp(p["mlp"], self.ln_2(p["ln_2"], x), ctx=ctx.fold(3))
         x = normalize_gradients(x)
         if not self.is_sparse:
-            return x
+            return sp_constrain(self, x, ctx, kv_cache)
         x_final = jnp.zeros_like(x_orig)
         x_final = x_final.at[:, idx].set(x.astype(x_orig.dtype))
         bypass = jnp.take(x_orig, not_idx, axis=1)
@@ -506,7 +508,7 @@ class TransformerBlock(Module):
             null_all = x_orig + self.null_connector(p["null_connector"],
                                                     x_orig)
             return jnp.where(count >= 2, x_final, null_all)
-        return x_final
+        return sp_constrain(self, x_final, ctx, kv_cache)
 
     # -- sparse attention with a KV cache ------------------------------------
     def _sparse_cached_forward(self, p, x_orig, cross_attn_inputs, attn_mask,

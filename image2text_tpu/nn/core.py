@@ -102,6 +102,30 @@ class Ctx:
 EVAL_CTX = Ctx(rng=None, train=False)
 
 
+def sp_constrain(module: "Module", x: jax.Array, ctx: Ctx,
+                 kv_cache=None) -> jax.Array:
+    """Megatron-style sequence-parallel residual annotation (training only).
+
+    When :func:`parallel.sharding_rules.set_sequence_parallel` has tagged
+    this block with a ``_sp_sharding`` (``P('data', 'model')`` over the
+    mesh), constrain the (batch, seq, embd) residual stream to it at the
+    block boundary: GSPMD then turns the tensor-parallel all-reduce after
+    row-parallel projections into reduce-scatter + all-gather pairs (same
+    bytes over ICI) and every remat-saved block input — the dominant
+    activation-memory term under per-block ``jax.checkpoint`` — shrinks by
+    the TP degree.  Annotation-only: numerics are unchanged (pinned by
+    ``test_sequence_parallel_matches_data_parallel``).  Skipped outside
+    training, in cached decode, and when shapes don't divide the mesh.
+    """
+    sh = getattr(module, "_sp_sharding", None)
+    if sh is None or not ctx.train or kv_cache is not None or x.ndim != 3:
+        return x
+    if (x.shape[0] % sh.mesh.shape.get("data", 1)
+            or x.shape[1] % sh.mesh.shape.get("model", 1)):
+        return x
+    return jax.lax.with_sharding_constraint(x, sh)
+
+
 def dropout(x: jax.Array, rate: float, ctx: Ctx) -> Tuple[jax.Array, Ctx]:
     """Inverted dropout; identity when eval or rate==0. Returns (y, ctx')."""
     if not ctx.train or rate <= 0.0:
@@ -231,6 +255,12 @@ class Module:
         for name, child in self._children.items():
             out.update(child.split_specs(f"{path}.{name}" if path else name))
         return out
+
+    def walk(self):
+        """Depth-first iterator over this module and every submodule."""
+        yield self
+        for child in self._children.values():
+            yield from child.walk()
 
     def module_at(self, path: str) -> "Module":
         node: Module = self

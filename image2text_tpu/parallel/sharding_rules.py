@@ -109,6 +109,38 @@ def place_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
+def set_sequence_parallel(model, mesh: Mesh) -> int:
+    """Tag every transformer block for Megatron-style sequence parallelism.
+
+    SP here is annotation-only, like TP: tagged blocks constrain their
+    (batch, seq, embd) residual stream to ``P('data', 'model')`` at block
+    boundaries (see ``nn.core.sp_constrain``).  GSPMD then reduce-scatters
+    the row-parallel projection outputs instead of all-reducing them and
+    all-gathers the sequence again before the next column-parallel matmul —
+    identical ICI bytes, but the residual stream, LayerNorm intermediates,
+    and (critically) the remat-saved per-block inputs shrink by the TP
+    degree.  Training-only: cached decode keeps its single-profile layout.
+
+    Returns the number of blocks tagged (0 when the model has no
+    recognised block class, or the mesh no model axis — callers may warn).
+    """
+    from image2text_tpu.models.hf_decoders.falcon import _FalconBlock
+    from image2text_tpu.models.hf_decoders.gpt2 import _GPT2Block
+    from image2text_tpu.models.hf_decoders.llama import _LlamaBlock
+    from image2text_tpu.models.layers import TransformerBlock
+
+    if mesh.shape.get("model", 1) <= 1:
+        return 0
+    sh = NamedSharding(mesh, P("data", "model"))
+    n = 0
+    for m in model.walk():
+        if isinstance(m, (TransformerBlock, _GPT2Block, _LlamaBlock,
+                          _FalconBlock)):
+            m._sp_sharding = sh
+            n += 1
+    return n
+
+
 def zero_opt_state_shardings(opt_state, mesh: Mesh,
                              min_size: int = 16384):
     """ZeRO-1-style placements for optimizer moments: shard over 'data'.

@@ -180,6 +180,16 @@ class Trainer:
             params = place_params(params, self.mesh)
         else:
             params = jax.device_put(params, rep)
+        if config.sequence_parallel:
+            from image2text_tpu.parallel.sharding_rules import (
+                set_sequence_parallel,
+            )
+
+            n = set_sequence_parallel(wrapper.model, self.mesh)
+            if n == 0 and jax.process_index() == 0:
+                print("WARNING: sequence_parallel requested but no blocks "
+                      "tagged (mesh.model == 1 or unrecognised decoder)",
+                      flush=True)
         opt_state = self.tx.init(params)
         # fresh scalars from tx.init (e.g. SNR's `iter` counter) land on the
         # default device, not the mesh — replicate them so the whole state

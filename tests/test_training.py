@@ -305,6 +305,77 @@ def test_tensor_parallel_matches_data_parallel():
     np.testing.assert_allclose(losses["dp8"], losses["dp4tp2"], rtol=1e-4)
 
 
+def test_sequence_parallel_matches_tensor_parallel():
+    """Megatron-style SP is annotation-only: a dp4×tp2 train step with
+    sequence_parallel on must (a) actually emit residual-stream sharding
+    constraints into the lowered program and (b) produce the same loss as
+    the plain dp4×tp2 step (XLA's reduce-scatter/all-gather decomposition
+    must not change the math)."""
+    from image2text_tpu.configs.trainer import MeshConfig
+    from image2text_tpu.parallel.mesh import make_mesh, shard_batch
+    from image2text_tpu.training.loop import Trainer
+
+    cfg_model = tiny_config(use_cross_attn=True)
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.standard_normal((8, 3, 64, 64)), jnp.float32)
+    lb = jnp.asarray(np.where(rng.random((8, 24)) < 0.7,
+                              rng.integers(2, 1000, (8, 24)), -100))
+
+    losses, n_constraints = {}, {}
+    for sp in (False, True):
+        mesh_cfg = MeshConfig(data=4, model=2)
+        config = TrainingConfig(
+            model=cfg_model, batch_size=8, epochs=1, num_steps=1,
+            num_val_steps=1, tokenizer_str="synthetic",
+            trainer=TrainerWrapperConfig(),
+            optimizers=[OptimizerConfig(lr=1e-3)], dataset="synthetic",
+            mesh=mesh_cfg, sequence_parallel=sp)
+        wrapper = ModelTrainerWrapper(cfg_model, TOK, config.trainer)
+        params = wrapper.init(KEY)
+        trainer = Trainer(config, wrapper, params, mesh=make_mesh(mesh_cfg))
+        ims, lbs = shard_batch(trainer.mesh, im, lb)
+        lowered = trainer._train_step.lower(trainer.state, ims, lbs,
+                                            jax.random.PRNGKey(5))
+        # Shardy lowering: with_sharding_constraint → sdy.sharding_constraint
+        n_constraints[sp] = lowered.as_text().count("sharding_constraint")
+        for _ in range(2):
+            trainer.state, metrics = trainer._train_step(
+                trainer.state, ims, lbs, jax.random.PRNGKey(5))
+        losses[sp] = float(metrics["train_loss_lm"])
+    # 2 encoder + 2 decoder blocks, entry+exit each = at least 8 extra
+    # residual-stream constraints in the SP program
+    assert n_constraints[True] >= n_constraints[False] + 8, n_constraints
+    np.testing.assert_allclose(losses[False], losses[True], rtol=1e-4)
+
+
+def test_sequence_parallel_tags_hf_blocks():
+    """set_sequence_parallel recognises the HF decoder family's blocks."""
+    from image2text_tpu.configs.models import HuggingfaceDecoderConfig
+    from image2text_tpu.configs.trainer import MeshConfig
+    from image2text_tpu.models.hf_decoders.factory import (
+        GPT2_TABLE,
+        build_hf_decoder,
+    )
+    from image2text_tpu.parallel.mesh import make_mesh
+    from image2text_tpu.parallel.sharding_rules import set_sequence_parallel
+
+    old = GPT2_TABLE["gpt2"]
+    GPT2_TABLE["gpt2"] = dict(n_layer=2, n_embd=32, n_head=2)
+    try:
+        dec = build_hf_decoder(
+            HuggingfaceDecoderConfig(
+                model_str="gpt2", use_cross_attn=False, vocab_size=50257,
+                extra_tokens=0, load_in_4bit=False,
+                prepare_for_kbit_training=False),
+            load_weights=False)
+    finally:
+        GPT2_TABLE["gpt2"] = old
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    assert set_sequence_parallel(dec, mesh) == 2
+    # no model axis => no-op
+    assert set_sequence_parallel(dec, make_mesh(MeshConfig(data=8))) == 0
+
+
 def test_train_step_compiles_once_across_steps():
     """Regression (round 3): the second train step must HIT the jit cache.
 
