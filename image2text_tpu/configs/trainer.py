@@ -75,6 +75,12 @@ class TrainingConfig(BaseModel):
     # identical numerics and ICI bytes (parallel/sharding_rules.py::
     # set_sequence_parallel)
     sequence_parallel: bool = False
+    # remat policy for per-block gradient checkpointing: None/'full' saves
+    # only block inputs (reference semantics); 'dots' additionally saves
+    # MXU (matmul) outputs, recomputing only cheap elementwise work —
+    # memory↔recompute trade the boolean flag can't express
+    # (training/remat.py; numerics unchanged either way)
+    remat_policy: Optional[str] = None
     # bound on the outer epoch loop (TPU extension; the reference hardcodes
     # range(10000) and stops on data exhaustion — trainer.py:177.  `epochs`
     # bounds DATA epochs, which `num_steps` slices into many loop-epochs;

@@ -246,7 +246,9 @@ class TransformerDecoder(Decoder):
                 def run(bp_, x_, ci_, am_, rng_, blk_=blk):
                     return blk_(bp_, x_, cross_attn_inputs=ci_, attn_mask=am_,
                                 ctx=Ctx(rng=rng_, train=True), use_flash=use_flash)
-                x = jax.checkpoint(run)(bp, x, cross_inputs, attn_msk, bctx.rng)
+                x = jax.checkpoint(
+                    run, policy=getattr(self, "_remat_policy", None))(
+                        bp, x, cross_inputs, attn_msk, bctx.rng)
             else:
                 ckv = cross_kv.get(depth) if cross_kv is not None else None
                 x = blk(bp, x,

@@ -207,7 +207,9 @@ class VisionTransformerEncoder(Encoder):
             if self.enable_gradient_checkpointing and ctx.train:
                 def run(bp_, x_, rng_):
                     return blk(bp_, x_, ctx=Ctx(rng=rng_, train=True))
-                x = jax.checkpoint(run)(bp, x, bctx.rng)
+                x = jax.checkpoint(
+                    run, policy=getattr(self, "_remat_policy", None))(
+                        bp, x, bctx.rng)
             else:
                 x = blk(bp, x, ctx=bctx)
         ln_f = self.transformer._children["ln_f"]

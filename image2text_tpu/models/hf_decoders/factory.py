@@ -144,6 +144,8 @@ class GPT2HuggingfaceDecoder(HuggingfaceDecoder):
         self.backbone = self.add("transformer", GPT2Backbone(
             vocab_size=self.vocab_eff, n_positions=1024,
             dropout_rate=0.1, cross_attn=config.use_cross_attn, **args))
+        self.backbone.enable_gradient_checkpointing = \
+            config.enable_gradient_checkpointing
 
     def forward(self, p, idx=None, inputs_embeds=None, cross_attn_embeds=None,
                 attn_msk=None, ctx: Ctx = Ctx(), use_flash: bool = True,
@@ -211,6 +213,8 @@ class LlamaHuggingfaceDecoder(_BackboneDecoder):
                          embed_path="model.embed_tokens")
         self.arch = arch
         self.backbone = self.add("model", LlamaBackbone(arch))
+        self.backbone.enable_gradient_checkpointing = \
+            config.enable_gradient_checkpointing
         if not arch.tie_embeddings:
             # an Embedding module (same torch (vocab, dim) weight layout):
             # _logits reads the weight directly, and int8_serving_params's
@@ -235,6 +239,8 @@ class FalconHuggingfaceDecoder(_BackboneDecoder):
                          embed_path="transformer.word_embeddings")
         self.arch = arch
         self.backbone = self.add("transformer", FalconBackbone(arch))
+        self.backbone.enable_gradient_checkpointing = \
+            config.enable_gradient_checkpointing
 
     def _block_attns(self):
         return [blk.self_attention for blk in self.backbone.blocks]

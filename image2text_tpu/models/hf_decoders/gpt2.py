@@ -207,11 +207,25 @@ class GPT2Backbone(Module):
         x = inputs_embeds + self.wpe(p["wpe"], positions) \
             .astype(inputs_embeds.dtype)
         x, ctx = dropout(x, self.dropout_rate, ctx)
+        # per-block remat (reference decoder.py:324-325 enables HF gradient
+        # checkpointing); decode (kv_cache) and eval never remat
+        remat = (getattr(self, "enable_gradient_checkpointing", False)
+                 and ctx.train and kv_cache is None)
         for depth, blk in enumerate(self.blocks):
             ckv = cross_kv.get(depth) if cross_kv is not None else None
-            x = blk(p["h"][str(depth)], x,
-                    enc=None if ckv is not None else enc, ctx=ctx.fold(depth),
-                    use_flash=use_flash, kv_cache=kv_cache, cross_kv=ckv)
+            bctx = ctx.fold(depth)
+            if remat:
+                def run(bp_, x_, enc_, rng_, blk_=blk):
+                    return blk_(bp_, x_, enc=enc_,
+                                ctx=Ctx(rng=rng_, train=True),
+                                use_flash=use_flash)
+                x = jax.checkpoint(
+                    run, policy=getattr(self, "_remat_policy", None))(
+                        p["h"][str(depth)], x, enc, bctx.rng)
+            else:
+                x = blk(p["h"][str(depth)], x,
+                        enc=None if ckv is not None else enc, ctx=bctx,
+                        use_flash=use_flash, kv_cache=kv_cache, cross_kv=ckv)
         return self.ln_f(p["ln_f"], x)
 
 

@@ -158,9 +158,22 @@ class LlamaBackbone(Module):
         positions = jnp.arange(t) if pos_offset is None \
             else pos_offset + jnp.arange(t)
         x = inputs_embeds
+        # per-block remat (reference decoder.py:324-325); never in decode
+        remat = (getattr(self, "enable_gradient_checkpointing", False)
+                 and ctx.train and kv_cache is None)
         for depth, blk in enumerate(self.blocks):
-            x = blk(p["layers"][str(depth)], x, positions, ctx=ctx.fold(depth),
-                    use_flash=use_flash, kv_cache=kv_cache)
+            if remat:
+                def run(bp_, x_, pos_, rng_, blk_=blk):
+                    return blk_(bp_, x_, pos_, ctx=Ctx(rng=rng_, train=True),
+                                use_flash=use_flash)
+                x = jax.checkpoint(
+                    run, policy=getattr(self, "_remat_policy", None))(
+                        p["layers"][str(depth)], x, positions,
+                        ctx.fold(depth).rng)
+            else:
+                x = blk(p["layers"][str(depth)], x, positions,
+                        ctx=ctx.fold(depth), use_flash=use_flash,
+                        kv_cache=kv_cache)
         return self.norm(p["norm"], x)
 
 

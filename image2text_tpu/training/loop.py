@@ -190,6 +190,10 @@ class Trainer:
                 print("WARNING: sequence_parallel requested but no blocks "
                       "tagged (mesh.model == 1 or unrecognised decoder)",
                       flush=True)
+        if config.remat_policy is not None:
+            from image2text_tpu.training.remat import set_remat_policy
+
+            set_remat_policy(wrapper.model, config.remat_policy)
         opt_state = self.tx.init(params)
         # fresh scalars from tx.init (e.g. SNR's `iter` counter) land on the
         # default device, not the mesh — replicate them so the whole state
