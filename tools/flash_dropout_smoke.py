@@ -9,6 +9,11 @@ including the MQA head-broadcast layout (4 query heads over 1 KV head).
 Run via tools/measure_queue.sh; prints FLASH_DROPOUT_ONCHIP_OK on
 success.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
