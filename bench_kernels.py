@@ -54,7 +54,13 @@ def _run_loop(body, carry0, iters, reps):
     for _ in range(reps):
         t0 = time.perf_counter()
         out = f(carry0)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        # fence: D2H a FEW BYTES that data-depend on the result.  The
+        # device-side ravel/slice is one extra constant-cost dispatch
+        # (cancelled by the slope); converting the whole array instead
+        # (the pre-round-3 bug) pushed megabytes through the tunnel per
+        # window, and that transfer's jitter (±50-150 ms observed)
+        # swamped the compute delta the slope divides by.
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:8])
         ts.append(time.perf_counter() - t0)
     # min: fenced time = device compute + tunnel jitter (>= one RPC); the
     # minimum approaches compute + the RPC floor, which the slope cancels
@@ -68,12 +74,17 @@ def device_loop_ms(body, carry0, target_s=None, reps=3) -> float:
     ~1 s per dispatch), then take the slope."""
     if target_s is None:
         target_s = TARGET_S
-    probe = _run_loop(body, carry0, 8, 2)
-    per = max(probe / 8, 1e-5)
+    # estimate per-iteration compute from the DIFFERENCE of two probes:
+    # a single probe's wall time is dominated by dispatch/RPC overhead
+    # (the pre-round-3 bug: per-iter was overestimated ~100x, so ``hi``
+    # stayed at 16 and the slope measured pure noise)
+    probe8 = _run_loop(body, carry0, 8, 2)
+    probe64 = _run_loop(body, carry0, 64, 2)
+    per = max((probe64 - probe8) / 56.0, 1e-6)
     # quantize to a power of two: repeat runs then reuse the SAME compiled
     # fori_loop from the persistent cache — compile traffic through the
     # tunnel is itself a major source of measurement-window contamination
-    hi = 16
+    hi = 128
     while hi < target_s / per and hi < 8192:
         hi *= 2
     lo = max(2, hi // 8)
@@ -113,7 +124,7 @@ def quick_calib() -> float:
         a, xx = c
         return ((a @ xx) * 0.5 + xx * 0.1, xx)
 
-    ms = device_loop_ms(body, (x, x), target_s=0.3, reps=2)
+    ms = device_loop_ms(body, (x, x), target_s=1.0, reps=2)
     return 2 * n ** 3 / ms / 1e9 if ms > 0 else 0.0
 
 
