@@ -39,7 +39,13 @@ from image2text_tpu.utils.compile_cache import setup_compile_cache
 setup_compile_cache("jaxcache-decode")
 import jax.numpy as jnp
 
-MAX_STEPS_LO, MAX_STEPS_HI = 8, 40
+# Spread must be wide enough that the slope signal dominates tunnel
+# dispatch jitter (tens of ms): a ~2 ms cached step over a 32-step spread
+# is a ~64 ms signal — same order as the jitter, which is why every
+# earlier decode-variant sample was noise (decode > full, Infinity).
+# 152 steps × ~2 ms ≈ 300 ms signal.  HI is bounded by the flagship
+# decode window: block_size 256 − n_cls 64 − 1 prompt token = 191.
+MAX_STEPS_LO, MAX_STEPS_HI = 8, 160
 V5E_HBM_GBS = 819.0
 
 
@@ -187,7 +193,7 @@ def main(batch: int):
         out = {"batch": batch, "calib_before_tflops": round(c0, 1)}
         if c0 > 100:
             for name, (lo, hi, args) in variants.items():
-                ms = slope_ms(lo, hi, args, attempts=2)
+                ms = slope_ms(lo, hi, args, attempts=3)
                 out[f"{name}_ms_per_step"] = round(ms, 3)
             c1 = quick_calib()
             out["calib_after_tflops"] = round(c1, 1)
