@@ -31,7 +31,9 @@ import jax.numpy as jnp
 
 from image2text_tpu.nn.core import Ctx, EVAL_CTX
 from image2text_tpu.models.kv_cache import CacheRef, KVCache
-from image2text_tpu.models.sampling import apply_no_repeat_ngram, sample_logits
+from image2text_tpu.models.sampling import (apply_no_repeat_ngram,
+                                            sample_logits,
+                                            sample_topk_with_ngram)
 
 EVAL = EVAL_CTX  # single shared eval context (nn.core)
 
@@ -63,9 +65,17 @@ def precompute_cross_kv(model, p, cross: Optional[jax.Array], quant=None):
 
 def _sample_step(model, ids_buf, cur_len, last_logits, rng, temperature,
                  top_k, nucleus_p):
+    greedy = temperature is None or temperature <= 0
+    if nucleus_p is None and (greedy or top_k is not None):
+        # one-pass fused ngram-ban + top-k (exact; see
+        # sampling.sample_topk_with_ngram) — the scatter path below costs
+        # L-proportional time per step
+        return sample_topk_with_ngram(
+            last_logits, ids_buf, cur_len, model.no_repeat_n_grams, rng,
+            temperature, top_k).astype(ids_buf.dtype)
     logits = apply_no_repeat_ngram(last_logits.astype(jnp.float32), ids_buf,
                                    cur_len, model.no_repeat_n_grams)
-    if temperature is None or temperature <= 0:
+    if greedy:
         return jnp.argmax(logits, axis=-1).astype(ids_buf.dtype)
     return sample_logits(logits, rng, temperature, top_k,
                          nucleus_p).astype(ids_buf.dtype)

@@ -228,6 +228,50 @@ def sample_logits(logits: jax.Array, rng: jax.Array, temperature: float = 1.0,
     return jax.random.categorical(rng, logits, axis=-1)
 
 
+def sample_topk_with_ngram(logits: jax.Array, ids_buf: jax.Array,
+                           cur_len: jax.Array,
+                           ngram_sizes: Sequence[int], rng: jax.Array,
+                           temperature: float,
+                           top_k: Optional[int]) -> jax.Array:
+    """Fused ngram-ban + top-k sampling in ONE full-vocab pass — exact.
+
+    ``apply_no_repeat_ngram``'s scatter-min into the (B, V) logits is the
+    decode loop's hidden hog: XLA lowers the row-wise scatter with
+    M = len(ngram_sizes)·L index columns near-serially, so its cost grows
+    with the id-buffer length L (measured ~3.4 ms/step at batch 256,
+    L≈85 on v5e — more than the entire cached decoder step).  Banning
+    never *adds* candidates, so the top-k of the banned logits is always
+    contained in the top-(k+M) of the raw logits: take top-(k+M) in one
+    chunked pass, mark the ≤M banned ids inside that small candidate set
+    by direct id comparison, and re-top-k.  Identical distribution to
+    ban → temperature → top-k → multinomial (reference
+    vision_encoder_decoder.py:151-178); ``temperature <= 0`` returns the
+    banned argmax (the greedy path).
+    """
+    logits = logits.astype(jnp.float32)
+    cand, ban = _ngram_bans(ids_buf, cur_len, ngram_sizes)
+    greedy = temperature is None or temperature <= 0
+    if cand is None:
+        if greedy:
+            return jnp.argmax(logits, axis=-1)
+        return sample_logits(logits, rng, temperature, top_k)
+    v = logits.shape[-1]
+    k = 1 if greedy else min(top_k if top_k is not None else v, v)
+    m = cand.shape[-1]
+    kk = min(k + m, v)
+    vals, idx = chunked_top_k(logits, kk, chunk=max(2048, kk))
+    banned_id = jnp.where(ban, cand, -1)                       # (B, M)
+    hit = jnp.any(idx[..., :, None] == banned_id[..., None, :], axis=-1)
+    vals = jnp.where(hit, NEG_INF, vals)
+    if greedy:
+        return jnp.take_along_axis(idx, jnp.argmax(vals, axis=-1)[..., None],
+                                   axis=-1)[..., 0]
+    vals, sel = jax.lax.top_k(vals, k)
+    idx = jnp.take_along_axis(idx, sel, axis=-1)
+    choice = jax.random.categorical(rng, vals / temperature, axis=-1)
+    return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
+
+
 def gumbel_topk_sample(log_probs: jax.Array, k: int,
                        rng: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Sample k ids without replacement ∝ exp(log_probs) (Gumbel-top-k).

@@ -178,6 +178,39 @@ def test_no_repeat_ngram_matches_hf():
                                           err_msg=f"n={n} cur={cur}")
 
 
+def test_sample_topk_with_ngram_matches_scatter_path():
+    """The fused one-pass ngram+top-k sampler draws the IDENTICAL token as
+    the scatter path (apply_no_repeat_ngram → sample_logits) under the same
+    rng key, greedy and sampled, across current lengths — exactness of the
+    ban-after-top-(k+M) containment argument."""
+    from image2text_tpu.models.sampling import (apply_no_repeat_ngram,
+                                                sample_logits,
+                                                sample_topk_with_ngram)
+
+    rng = np.random.default_rng(7)
+    vocab, b, l = 5000, 4, 40
+    ns = (2, 3, 4, 5)
+    for cur in (3, 9, 21, 39):
+        # small id range ⇒ the suffix reliably matches earlier windows
+        buf = jnp.asarray(
+            np.where(np.arange(l) < cur,
+                     rng.integers(0, 6, (b, l)), 0).astype(np.int32))
+        logits = jnp.asarray(rng.standard_normal((b, vocab)), jnp.float32)
+        banned = apply_no_repeat_ngram(logits, buf, jnp.asarray(cur), ns)
+        assert bool((banned == -np.inf).any()), "case must exercise bans"
+        # greedy: fused == argmax over the scatter-banned logits
+        got = np.asarray(sample_topk_with_ngram(
+            logits, buf, jnp.asarray(cur), ns, jax.random.PRNGKey(0),
+            0.0, None))
+        np.testing.assert_array_equal(got, np.asarray(jnp.argmax(banned, -1)))
+        # sampled: same rng ⇒ identical draw as the scatter + top-k path
+        key = jax.random.PRNGKey(cur)
+        got = np.asarray(sample_topk_with_ngram(
+            logits, buf, jnp.asarray(cur), ns, key, 0.7, 16))
+        want = np.asarray(sample_logits(banned, key, 0.7, 16))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_top_k_masking():
     logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0, 4.0]])
     out = np.asarray(apply_top_k(logits, 2))
