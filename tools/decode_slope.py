@@ -59,18 +59,22 @@ def fenced_s(fn, *args):
 
 
 def slope_ms(fn_lo, fn_hi, args, attempts=4):
-    """min over attempts of (t_hi - t_lo) / (HI - LO) in ms.
+    """(min t_hi − min t_lo) / (HI − LO) in ms.
 
-    Returns -1.0 when no attempt produced hi > lo (a fully-degraded window
-    where dispatch jitter swamps compute) — a sentinel rather than inf,
-    which json.dumps would serialise as the invalid token ``Infinity``."""
-    best = float("inf")
-    for _ in range(attempts):
-        lo = fenced_s(fn_lo, *args)
-        hi = fenced_s(fn_hi, *args)
-        if hi > lo:
-            best = min(best, (hi - lo) / (MAX_STEPS_HI - MAX_STEPS_LO) * 1e3)
-    return best if best != float("inf") else -1.0
+    Each min converges to the true device time separately (on-device
+    degradation and dispatch jitter only ever INFLATE a sample).
+    min-over-attempts of the *difference* — the earlier estimator — is
+    biased low: one inflated lo sample paired with a healthy hi sample
+    yields a deflated difference, and the min then selects exactly those
+    (observed: 0.058 ms/step for a step whose weight reads alone bound it
+    at ≥0.28 ms, and 'bandwidths' above the HBM spec).
+
+    Returns -1.0 when min(hi) <= min(lo) (fully-degraded window)."""
+    lo = min(fenced_s(fn_lo, *args) for _ in range(attempts))
+    hi = min(fenced_s(fn_hi, *args) for _ in range(attempts))
+    if hi <= lo:
+        return -1.0
+    return (hi - lo) / (MAX_STEPS_HI - MAX_STEPS_LO) * 1e3
 
 
 def main(batch: int):
