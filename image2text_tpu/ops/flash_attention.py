@@ -22,16 +22,14 @@ harmless uniform average, and those padding rows never feed the loss).
 ``causal=True`` applies the decode-window mask (col <= row + skv − sq)
 inside the kernels and skips blocks outside the causal band entirely.
 
-Measurement status (round 2): two on-chip sweeps disagree — an early
-round-1 sweep had XLA ahead below s≈4096, a post-tile-retuning round-1
-sweep had flash ahead from s=320 (1.13×) to s=4096 (4.5×), and the
-round-2 `bench_kernels.py` re-run landed on a degraded chip
-(calibration ~1.6 TFLOP/s vs >100 healthy — see BENCH_KERNELS.json) so it
-cannot arbitrate.  Until a healthy-chip sweep is recorded, treat
-BENCH_KERNELS.json (with its calibration gate) as the only source of
-truth and regard the dispatch threshold in
-``flash_attention_compatible`` as provisional.  Default tiles: 512×1024
-forward.
+Measurement status (round 3, decision-grade): `bench_kernels.py` on a
+calibration-bracketed healthy window (186.7 TFLOP/s sustained-matmul
+probe; every row reproduced by ≥2 samples within 15% — BENCH_KERNELS.json,
+``decision_grade: true``) measures flash at 0.37×/0.44× (fwd / fwd+bwd)
+vs XLA at (b8, h8, s320) and 3.45×/3.98× at s1024 rising to 6.22×/5.87×
+at s4096.  The dispatch threshold in ``flash_attention_compatible`` is
+derived from that table (total-score-element work ≥ 2^25).  Default
+tiles: 512×1024 forward.
 
 Layout notes (MXU/VPU): head_dim pads to a multiple of 128 lanes (zero K/Q
 columns don't change scores; zero V columns produce zero output columns,
@@ -622,9 +620,17 @@ def flash_attention_compatible(q: jax.Array, k: jax.Array, v: jax.Array,
         # construction — make that explicit so a learned bias routed here
         # would at least behave identically to an explicit stop_gradient
         mask = jax.lax.stop_gradient(mask)
-    # tiny problems (e.g. single-token decode steps): tiling overhead
-    # dominates; let XLA fuse instead
-    if q.shape[-2] * k.shape[-2] < 16 * 128:
+    # Decision-grade dispatch threshold (BENCH_KERNELS.json, TPU v5 lite,
+    # calibration-bracketed healthy window): flash LOSES at small total
+    # work — 0.37×/0.44× fwd / fwd+bwd at (b8, h8, s320) ≈ 6.6M score
+    # elements — and wins at scale: 3.5-6.2× for s ≥ 1024 (≥ 67M
+    # elements); the flagship train step (b48, h8, s≈320, ≈47M elements)
+    # measures 1.05× end-to-end (BENCH_TRAIN.json).  The crossover lies
+    # between 6.6M and 47M score elements; 2^25 ≈ 33.6M keeps both
+    # measured winners on the flash side and routes everything smaller
+    # (including every single-token decode step) to XLA, which fuses
+    # small problems better than a tiled kernel grid.
+    if q.shape[0] * q.shape[1] * q.shape[-2] * k.shape[-2] < 1 << 25:
         return None
     if k.shape[1] not in (1, q.shape[1]):
         # grouped-query KV: the kernel serves MQA (hk=1) and full-head

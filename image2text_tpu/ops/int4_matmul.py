@@ -39,16 +39,23 @@ from jax.experimental.pallas import tpu as pltpu
 QBLOCK = 64          # columns per scale (as a 32+32 strip pair)
 STRIP = QBLOCK // 2  # 32
 
-# Forward-path dispatch: "xla" (default) dequantises then dots; "pallas"
-# runs the fused kernel for tileable shapes.  Default is XLA because the
-# only decision-grade measurement so far (BENCH_KERNELS round-2, single
-# valid row) has the fused kernel at 0.28× the XLA dequant-dot — the
-# kernel's proven value is the 4.5× weight-byte HBM reduction, not speed.
-# Flip via IMAGE2TEXT_INT4_KERNEL=pallas once a healthy-chip sweep shows a
-# win (the env var is read at import; tests set it to cover both paths).
+# Forward-path dispatch: "auto" (default) picks per shape from the
+# decision-grade round-3 sweep (BENCH_KERNELS.json, calibration-bracketed
+# healthy window, every row reproduced by >=2 samples within 15%): the
+# fused kernel beats the XLA dequant-dot 1.54× at in=1024 (the
+# gpt2-medium c_attn/c_proj fan-in), ties at in=1600 (1.00×) and loses
+# slightly at in=4096 (0.94×) — so auto routes fan-in <= 1024 (halfw
+# <= 512) to the kernel and wider shapes to XLA.  Against a bf16 dot the
+# quantized matmul is 0.58-0.95× everywhere: int4's value is the 4.5×
+# weight-byte HBM reduction, not raw speed.  "pallas"/"xla" force one
+# path (the env var is read at import; tests set it to cover both).
 import os as _os  # noqa: E402
 
-INT4_KERNEL = _os.environ.get("IMAGE2TEXT_INT4_KERNEL", "xla")
+INT4_KERNEL = _os.environ.get("IMAGE2TEXT_INT4_KERNEL", "auto")
+
+# halfw (= in_pad/2) at or below which "auto" picks the fused kernel:
+# the measured win boundary above
+_AUTO_PALLAS_MAX_HALFW = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -207,8 +214,14 @@ def _int4_matmul_pallas(x: jax.Array, packed: jax.Array, scales: jax.Array,
 
 def _int4_matmul_impl(x, packed, scales):
     halfw = packed.shape[1]
-    if INT4_KERNEL != "pallas" or _pick_bp(halfw) is None:
-        # XLA unpack+dot: the default path (see INT4_KERNEL above), and
+    use_pallas = (INT4_KERNEL == "pallas"
+                  or (INT4_KERNEL == "auto"
+                      and halfw <= _AUTO_PALLAS_MAX_HALFW
+                      # the measured win is a TPU number; off-TPU "auto"
+                      # would run the kernel in (slow) interpret mode
+                      and jax.default_backend() == "tpu"))
+    if not use_pallas or _pick_bp(halfw) is None:
+        # XLA unpack+dot: the wide-shape path (see INT4_KERNEL above), and
         # the fallback for shapes the kernel declines (packed width not
         # tileable to a 128-multiple, e.g. Falcon's 4544 → halfw 2272)
         w = dequantize_int4(packed, scales, jnp.float32)  # (out, in_pad)

@@ -1,0 +1,56 @@
+#!/bin/bash
+# Fifth-pass measurement queue: decode-step attribution with the ROBUST
+# slope estimator (the committed batch-256 decomposition predates it and
+# is biased low — see tools/decode_slope.py::slope_ms), plus the two
+# decomposition probes that have not yet run on-chip:
+#   * cross_decode_probe — which cross-attention formulation reads the
+#     per-layer K/V fastest (einsum / flash / vpu / fused1 / module)
+#   * decoder_step_probe — full/nox/dense/dense_nox split, isolating the
+#     sparse cached-decode machinery vs the cross-K/V read
+# Batches 128 and 512 extend the batch-scaling attribution for the
+# monotonicity question (BENCH batch_scaling declines 814->706 over
+# 128->1024).
+cd /root/repo || exit 1
+echo "=== queue5 start $(date) ==="
+
+commit_artifacts() {
+  local msg="$1"; shift
+  local paths=""
+  for f in "$@"; do [ -e "$f" ] && paths="$paths $f"; done
+  [ -n "$paths" ] || return 0
+  if [ -n "$(git status --porcelain -- $paths)" ]; then
+    git add -- $paths
+    git commit -m "$msg" -- $paths
+  fi
+}
+
+# extract_json LOGFILE OUT_JSONL: append the last {...} line of LOGFILE
+extract_json() {
+  grep -E '^\{.*\}$' "$1" | tail -1 >> "$2"
+}
+
+echo "=== [1/5] decode_slope 256 (robust estimator) $(date) ==="
+DECODE_SLOPE_WAIT_MIN=25 timeout 5400 python tools/decode_slope.py 256 > /tmp/q5_slope256.log 2>&1
+echo "decode_slope 256 rc=$?"
+commit_artifacts "Re-measure decode-slope batch 256 with the robust estimator" PROFILE_DECODE_SLOPE.json
+
+echo "=== [2/5] cross_decode_probe 256 $(date) ==="
+timeout 3600 python tools/cross_decode_probe.py 256 > /tmp/q5_cross.log 2>&1
+echo "cross_decode_probe rc=$?"
+extract_json /tmp/q5_cross.log PROBE_CROSS_DECODE.jsonl
+commit_artifacts "Record cross-attention decode formulation probe" PROBE_CROSS_DECODE.jsonl
+
+echo "=== [3/5] decoder_step_probe 256 $(date) ==="
+timeout 3600 python tools/decoder_step_probe.py 256 > /tmp/q5_step.log 2>&1
+echo "decoder_step_probe rc=$?"
+extract_json /tmp/q5_step.log PROBE_DECODER_STEP.jsonl
+commit_artifacts "Record decoder-step decomposition probe" PROBE_DECODER_STEP.jsonl
+
+echo "=== [4/5] decode_slope 128 $(date) ==="
+DECODE_SLOPE_WAIT_MIN=15 timeout 3600 python tools/decode_slope.py 128 > /tmp/q5_slope128.log 2>&1
+echo "decode_slope 128 rc=$?"
+echo "=== [5/5] decode_slope 512 $(date) ==="
+DECODE_SLOPE_WAIT_MIN=15 timeout 3600 python tools/decode_slope.py 512 > /tmp/q5_slope512.log 2>&1
+echo "decode_slope 512 rc=$?"
+commit_artifacts "Record decode-slope batch 128/512 for scaling attribution" PROFILE_DECODE_SLOPE.json
+echo "=== queue5 done $(date) ==="
