@@ -258,18 +258,43 @@ def sample_topk_with_ngram(logits: jax.Array, ids_buf: jax.Array,
     v = logits.shape[-1]
     k = 1 if greedy else min(top_k if top_k is not None else v, v)
     m = cand.shape[-1]
-    kk = min(k + m, v)
-    vals, idx = chunked_top_k(logits, kk, chunk=max(2048, kk))
     banned_id = jnp.where(ban, cand, -1)                       # (B, M)
-    hit = jnp.any(idx[..., :, None] == banned_id[..., None, :], axis=-1)
-    vals = jnp.where(hit, NEG_INF, vals)
-    if greedy:
-        return jnp.take_along_axis(idx, jnp.argmax(vals, axis=-1)[..., None],
-                                   axis=-1)[..., 0]
-    vals, sel = jax.lax.top_k(vals, k)
-    idx = jnp.take_along_axis(idx, sel, axis=-1)
-    choice = jax.random.categorical(rng, vals / temperature, axis=-1)
-    return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
+
+    def pick(kk):
+        """top-k of the banned distribution among the top-kk raw logits.
+
+        Exact iff every row has <= kk - k banned ids inside its top-kk
+        (then the k unbanned winners all lie within the top-kk).  Returns
+        (ok, sampled ids)."""
+        vals, idx = chunked_top_k(logits, kk, chunk=max(2048, kk))
+        hit = jnp.any(idx[..., :, None] == banned_id[..., None, :], axis=-1)
+        ok = jnp.all(jnp.sum(hit, axis=-1) <= kk - k)
+        vals = jnp.where(hit, NEG_INF, vals)
+        if greedy:
+            out = jnp.take_along_axis(
+                idx, jnp.argmax(vals, axis=-1)[..., None], axis=-1)[..., 0]
+            return ok, out
+        tv, sel = jax.lax.top_k(vals, k)
+        ti = jnp.take_along_axis(idx, sel, axis=-1)
+        choice = jax.random.categorical(rng, tv / temperature, axis=-1)
+        return ok, jnp.take_along_axis(ti, choice[..., None], axis=-1)[..., 0]
+
+    kk_full = min(k + m, v)
+    # m grows with the id-buffer length (every window is a static ban
+    # candidate), and lax.top_k cost grows with k — the full k+m pull is
+    # the decode loop's dominant term at large batch (measured 55 ms/step
+    # at batch 1024, L=161 vs 4.3 ms for the whole decoder step).  Almost
+    # every step has only a handful of REAL bans among the top logits, so
+    # pull a small k+margin head and fall back to the exact k+m pull via
+    # lax.cond only when some row has more than `margin` banned ids in its
+    # head — the fast path is an optimisation, never an approximation.
+    margin = 32
+    kk_fast = min(k + margin, kk_full)
+    if kk_fast == kk_full:
+        return pick(kk_full)[1]
+    ok, fast = pick(kk_fast)
+    return jax.lax.cond(ok, lambda _: fast, lambda _: pick(kk_full)[1],
+                        None)
 
 
 def gumbel_topk_sample(log_probs: jax.Array, k: int,

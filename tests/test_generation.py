@@ -211,6 +211,38 @@ def test_sample_topk_with_ngram_matches_scatter_path():
         np.testing.assert_array_equal(got, want)
 
 
+def test_sample_topk_with_ngram_fallback_when_head_saturated():
+    """The small-head fast path must DETECT saturation (more banned ids in
+    the top-(k+32) head than the margin) and fall back to the exact k+M
+    pull: plant the top ~40 logits on 1-gram-banned ids so the fast head
+    is mostly bans, and check the fused sampler still returns the best
+    unbanned token (greedy) / the scatter-path draw (sampled)."""
+    from image2text_tpu.models.sampling import (apply_no_repeat_ngram,
+                                                sample_logits,
+                                                sample_topk_with_ngram)
+
+    rng = np.random.default_rng(11)
+    vocab, b, l = 3000, 3, 60
+    cur = 59
+    ns = (1,)  # every seen token is banned
+    seen = rng.permutation(vocab)[:l]
+    buf = jnp.asarray(np.tile(seen, (b, 1)).astype(np.int32))
+    logits = np.asarray(rng.standard_normal((b, vocab)), np.float32)
+    # 45 of the 59 banned ids get the HIGHEST logits: the top-(1+32) and
+    # top-(16+32) heads are saturated with bans in every row
+    logits[:, seen[:45]] += 100.0
+    logits = jnp.asarray(logits)
+    banned = apply_no_repeat_ngram(logits, buf, jnp.asarray(cur), ns)
+    got = np.asarray(sample_topk_with_ngram(
+        logits, buf, jnp.asarray(cur), ns, jax.random.PRNGKey(0), 0.0, None))
+    np.testing.assert_array_equal(got, np.asarray(jnp.argmax(banned, -1)))
+    key = jax.random.PRNGKey(3)
+    got = np.asarray(sample_topk_with_ngram(
+        logits, buf, jnp.asarray(cur), ns, key, 0.7, 16))
+    want = np.asarray(sample_logits(banned, key, 0.7, 16))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_top_k_masking():
     logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0, 4.0]])
     out = np.asarray(apply_top_k(logits, 2))
