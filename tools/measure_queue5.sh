@@ -46,11 +46,22 @@ echo "decoder_step_probe rc=$?"
 extract_json /tmp/q5_step.log PROBE_DECODER_STEP.jsonl
 commit_artifacts "Record decoder-step decomposition probe" PROBE_DECODER_STEP.jsonl
 
-echo "=== [4/5] decode_slope 128 $(date) ==="
+echo "=== [4/6] decode_slope 128 $(date) ==="
 DECODE_SLOPE_WAIT_MIN=15 timeout 3600 python tools/decode_slope.py 128 > /tmp/q5_slope128.log 2>&1
 echo "decode_slope 128 rc=$?"
-echo "=== [5/5] decode_slope 512 $(date) ==="
+echo "=== [5/6] decode_slope 512 $(date) ==="
 DECODE_SLOPE_WAIT_MIN=15 timeout 3600 python tools/decode_slope.py 512 > /tmp/q5_slope512.log 2>&1
 echo "decode_slope 512 rc=$?"
 commit_artifacts "Record decode-slope batch 128/512 for scaling attribution" PROFILE_DECODE_SLOPE.json
+
+echo "=== [6/6] bench.py (post-sampler-fix serving headline) $(date) ==="
+timeout 7200 python bench.py > /tmp/q5_bench.log 2>&1
+rc=$?
+echo "bench rc=$rc"
+extract_json /tmp/q5_bench.log BENCH_QUEUE_r03.json.new
+if [ $rc -eq 0 ] && [ -s BENCH_QUEUE_r03.json.new ]; then
+  tail -1 BENCH_QUEUE_r03.json.new > BENCH_QUEUE_r03.json
+fi
+rm -f BENCH_QUEUE_r03.json.new
+commit_artifacts "Record serving bench after the sampler fix" BENCH_QUEUE_r03.json
 echo "=== queue5 done $(date) ==="
