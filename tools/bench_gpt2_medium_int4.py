@@ -90,9 +90,26 @@ def main(load_in_4bit: bool):
     params = jax.device_put(params, dev)
     tx, _, _ = build_optimizer(wrapper, params, cfg.optimizers,
                                use_snr=cfg.use_snr_optim)
-    step = jax.jit(make_train_step(wrapper, tx, 1, cfg.precision),
-                   donate_argnums=(0,))
+    step_body = make_train_step(wrapper, tx, 1, cfg.precision)
+    step = jax.jit(step_body, donate_argnums=(0,))
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    def multi_step(n):
+        """n chained train steps in ONE dispatch (lax.fori_loop): the
+        axon tunnel's per-dispatch latency for this large-argument
+        program reaches tens of seconds even in calibration-healthy
+        windows (round-2/3 recorded 90s/32s 'step' times bounded by the
+        FLOP count at well under 1s), so per-step time must come from
+        the SLOPE between two on-device iteration counts — dispatch cost
+        cancels exactly (same methodology as tools/decode_slope.py)."""
+        def run(state, images, labels, rng):
+            def body(i, s):
+                s, _ = step_body(s, images, labels,
+                                 jax.random.fold_in(rng, i))
+                return s
+            return jax.lax.fori_loop(0, n, body, state)
+
+        return jax.jit(run, donate_argnums=(0,))
     stats_init = dict(dev.memory_stats() or {})
 
     rng = np.random.default_rng(0)
@@ -117,7 +134,19 @@ def main(load_in_4bit: bool):
 
     import os
 
-    iters = 5
+    LO, HI = 2, 12
+    run_lo, run_hi = multi_step(LO), multi_step(HI)
+
+    def fenced_s(run, st):
+        t0 = time.perf_counter()
+        st = run(st, images, labels, jax.random.PRNGKey(0))
+        np.asarray(jax.tree_util.tree_leaves(st.params)[0].reshape(-1)[:4])
+        return time.perf_counter() - t0, st
+
+    # warm both compiled programs (off the clock)
+    _, state = fenced_s(run_lo, state)
+    _, state = fenced_s(run_hi, state)
+
     best_dt = float("inf")
     calib = 0.0
     deadline = time.time() + float(
@@ -126,20 +155,24 @@ def main(load_in_4bit: bool):
     while True:
         attempt += 1
         c = calibration_tflops()
-        t0 = time.perf_counter()
-        for i in range(iters):
-            state, metrics = step(state, images, labels, jax.random.PRNGKey(i))
-        np.asarray(metrics["train_loss_lm"])  # D2H fence
-        dt = (time.perf_counter() - t0) / iters
-        if dt < best_dt:
+        los, his = [], []
+        for _ in range(3):
+            t, state = fenced_s(run_lo, state)
+            los.append(t)
+            t, state = fenced_s(run_hi, state)
+            his.append(t)
+        # min converges to true device time separately per window
+        # (degradation/dispatch only inflate samples)
+        dt = (min(his) - min(los)) / (HI - LO)
+        if 0 < dt < best_dt and c > 100:
             best_dt, calib = dt, c
-        if c > 100 or time.time() > deadline:
-            break
         print(f"attempt {attempt}: calibration {c:.1f} TFLOP/s, "
-              f"step {dt * 1e3:.1f} ms — retrying for a healthy phase",
-              flush=True)
+              f"slope step {dt * 1e3:.1f} ms", flush=True)
+        if (best_dt < float('inf') and c > 100) or time.time() > deadline:
+            break
         time.sleep(20)
-    dt = best_dt
+    dt = best_dt if best_dt < float("inf") else float("nan")
+    state, metrics = step(state, images, labels, jax.random.PRNGKey(7))
 
     from image2text_tpu.ops.int4_matmul import INT4_KERNEL
 

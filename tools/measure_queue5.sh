@@ -54,7 +54,15 @@ DECODE_SLOPE_WAIT_MIN=15 timeout 3600 python tools/decode_slope.py 512 > /tmp/q5
 echo "decode_slope 512 rc=$?"
 commit_artifacts "Record decode-slope batch 128/512 for scaling attribution" PROFILE_DECODE_SLOPE.json
 
-echo "=== [6/6] bench.py (post-sampler-fix serving headline) $(date) ==="
+echo "=== [6/8] gpt2m int4 (slope timing) $(date) ==="
+GPT2M_WAIT_MIN=20 timeout 5400 python tools/bench_gpt2_medium_int4.py > /tmp/q5_int4.log 2>&1
+echo "int4 rc=$?"
+echo "=== [7/8] gpt2m bf16 baseline (slope timing) $(date) ==="
+GPT2M_WAIT_MIN=15 timeout 4200 python tools/bench_gpt2_medium_int4.py --bf16-baseline > /tmp/q5_bf16.log 2>&1
+echo "bf16-baseline rc=$?"
+commit_artifacts "Record gpt2-medium int4 vs bf16 slope-timed step times" GPT2M_INT4.json
+
+echo "=== [8/8] bench.py (post-sampler-fix serving headline) $(date) ==="
 timeout 7200 python bench.py > /tmp/q5_bench.log 2>&1
 rc=$?
 echo "bench rc=$rc"
