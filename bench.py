@@ -163,15 +163,21 @@ def _build():
 
     im_size = cfg.model.vision_encoder_config.input.width
 
-    def gen(params, raw, prompt, rng, cross_kv_quant=None):
+    def gen(params, raw, prompt, rng, cross_kv_quant=None,
+            approx_top_k=False):
         images = resize_normalize_on_device(raw, im_size,
                                             out_dtype=jnp.bfloat16)
         return model.generate(params, images, prompt,
                               max_new_tokens=MAX_NEW_TOKENS,
                               temperature=0.7, top_k=16, rng=rng,
-                              cross_kv_quant=cross_kv_quant)
+                              cross_kv_quant=cross_kv_quant,
+                              approx_top_k=approx_top_k)
 
     gen_int8 = jax.jit(lambda p, raw, pr, rng: gen(p, raw, pr, rng, "int8"))
+    gen_approx = jax.jit(
+        lambda p, raw, pr, rng: gen(p, raw, pr, rng, None, True))
+    gen_all = jax.jit(
+        lambda p, raw, pr, rng: gen(p, raw, pr, rng, "int8", True))
 
     def build_params_w8():
         """Full int8 serving params: W8A8 decoder weights benched together
@@ -187,8 +193,8 @@ def _build():
             int8_serving_params(model.decoder, params["decoder"]))
         return params_w8
 
-    return (cfg, params, build_params_w8, jax.jit(gen), gen_int8, dev,
-            data_sharding)
+    return (cfg, params, build_params_w8, jax.jit(gen), gen_int8,
+            gen_approx, gen_all, dev, data_sharding)
 
 
 def _inputs(batch, sharding):
@@ -296,8 +302,8 @@ def main():
                   flush=True)
             time.sleep(30)
 
-    (cfg, params, build_params_w8, gen_fn, gen_int8, dev,
-     data_sharding) = _build()
+    (cfg, params, build_params_w8, gen_fn, gen_int8, gen_approx, gen_all,
+     dev, data_sharding) = _build()
 
     flops_analytic = analytic_flops_per_caption(cfg, MAX_NEW_TOKENS,
                                                 PROMPT_LEN)
@@ -412,6 +418,51 @@ def main():
     except Exception as e:
         int8_res["int8_serving_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
+    # approx-top-k serving mode (secondary number — the headline stays the
+    # numerics-exact pipeline): the sampler's head pull via ApproxTopK
+    # PartialReduce (recall 0.95; bans never dropped — see
+    # sampling.sample_topk_with_ngram), measured 12× cheaper than the
+    # exact sort at serving batch (PROBE_TOPK.jsonl)
+    approx_res = {}
+    try:
+        a_scaling = []
+        a_per_batch = {}
+        for batch in BATCHES:
+            raw_a, prompt_a = _inputs(batch, data_sharding)
+            np.asarray(gen_approx(params, raw_a, prompt_a,
+                                  jax.random.PRNGKey(0)))  # warm
+            dts = sorted(_timed_window(gen_approx, params, raw_a, prompt_a,
+                                       4, s) for s in range(3))
+            lat = dts[1] / 4 * 1000.0
+            a_scaling.append({"batch": batch, "latency_ms": round(lat, 2),
+                              "captions_per_sec": round(batch / (lat / 1e3), 1)})
+            a_per_batch[batch] = lat
+        ab = max(a_per_batch, key=lambda b: b / a_per_batch[b])
+        raw_a, prompt_a = _inputs(ab, data_sharding)
+        dts = sorted(_timed_window(gen_approx, params, raw_a, prompt_a, 10,
+                                   60 + s) for s in range(3))
+        a_caps = ab * 10 / dts[1]
+        a_mfu = a_caps * flops_per_caption / peak
+        assert a_mfu < 1.0, f"approx MFU {a_mfu:.2f} >= 1: fence broken"
+        approx_res = {
+            "approx_topk_captions_per_sec": round(a_caps, 2),
+            "approx_topk_batch": ab,
+            "approx_topk_mfu": round(a_mfu, 4),
+            "approx_topk_batch_scaling": a_scaling,
+        }
+        # every serving mode stacked (approx top-k + int8 cross-KV + W8A8
+        # weights) at the approx best batch — the max-throughput config
+        params_w8 = build_params_w8()
+        np.asarray(gen_all(params_w8, raw_a, prompt_a,
+                           jax.random.PRNGKey(0)))  # warm
+        dts = sorted(_timed_window(gen_all, params_w8, raw_a, prompt_a, 10,
+                                   80 + s) for s in range(3))
+        approx_res["all_modes_captions_per_sec"] = round(ab * 10 / dts[1], 2)
+        approx_res["all_modes_batch"] = ab
+        del params_w8
+    except Exception as e:
+        approx_res["approx_topk_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
     # beam-search serving number (fail-soft: the sampling headline must
     # survive a beam-path failure)
     try:
@@ -429,6 +480,7 @@ def main():
     print(json.dumps({
         **beam,
         **int8_res,
+        **approx_res,
         "calibration_tflops_before": round(calib0, 1) if calib0 else calib0,
         "calibration_tflops_after": round(calib1, 1) if calib1 else calib1,
         "metric": "captions_per_sec",

@@ -108,7 +108,8 @@ def main(args):
                 out = model.generate(
                     params, x, prompt, max_new_tokens=max_new,
                     temperature=args.temperature, top_k=args.top_k, rng=k,
-                    cross_kv_quant="int8" if args.int8_serving else None)
+                    cross_kv_quant="int8" if args.int8_serving else None,
+                    approx_top_k=args.approx_topk)
                 best = np.asarray(out[0, 1:])
             cand = _strip(best, eos)
             cands.append(cand)
@@ -139,6 +140,9 @@ def parse_args(argv=None):
     p.add_argument("--int8_serving", action="store_true",
                    help="W8A8 decoder weights + int8 cross-KV (lossy "
                         "serving mode); measures its quality cost")
+    p.add_argument("--approx_topk", action="store_true",
+                   help="ApproxTopK sampling head pull (recall 0.95, "
+                        "sampled paths only); measures its quality cost")
     return p.parse_args(argv)
 
 

@@ -64,7 +64,7 @@ def precompute_cross_kv(model, p, cross: Optional[jax.Array], quant=None):
 
 
 def _sample_step(model, ids_buf, cur_len, last_logits, rng, temperature,
-                 top_k, nucleus_p):
+                 top_k, nucleus_p, approx_top_k=False):
     greedy = temperature is None or temperature <= 0
     if nucleus_p is None and (greedy or top_k is not None):
         # one-pass fused ngram-ban + top-k (exact; see
@@ -72,7 +72,7 @@ def _sample_step(model, ids_buf, cur_len, last_logits, rng, temperature,
         # L-proportional time per step
         return sample_topk_with_ngram(
             last_logits, ids_buf, cur_len, model.no_repeat_n_grams, rng,
-            temperature, top_k).astype(ids_buf.dtype)
+            temperature, top_k, approx=approx_top_k).astype(ids_buf.dtype)
     logits = apply_no_repeat_ngram(last_logits.astype(jnp.float32), ids_buf,
                                    cur_len, model.no_repeat_n_grams)
     if greedy:
@@ -87,13 +87,17 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
              rng: Optional[jax.Array] = None, use_flash: bool = True,
              force_no_cache: bool = False,
              encoder_output: Optional[jax.Array] = None,
-             cross_kv_quant: Optional[str] = None) -> jax.Array:
+             cross_kv_quant: Optional[str] = None,
+             approx_top_k: bool = False) -> jax.Array:
     """Sample captions; mirrors VisionEncoderDecoder.generate's contract
     (reference vision_encoder_decoder.py:136-182).
 
     ``cross_kv_quant='int8'`` enables the serving-mode quantized
     cross-attention memory (cached path only; the exact bf16 path is the
-    default — see nn.modules.QuantizedKV)."""
+    default — see nn.modules.QuantizedKV).  ``approx_top_k=True`` is the
+    opt-in approximate-top-k serving mode (sampling.sample_topk_with_ngram:
+    ApproxTopK head pull, recall 0.95; bans never dropped, greedy
+    unaffected); the exact pipeline stays the default."""
     if prompt_ids.ndim == 1:
         prompt_ids = prompt_ids[None]
     t0 = prompt_ids.shape[-1]
@@ -124,7 +128,7 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
             rng, key = jax.random.split(rng)
             nxt = _sample_step(model, ids, ids.shape[-1],
                                out.logits[:, -1], key, temperature, top_k,
-                               nucleus_p)
+                               nucleus_p, approx_top_k)
             ids = jnp.concatenate([ids, nxt[:, None]], axis=-1)
         return ids
 
@@ -169,7 +173,7 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
             cur = t0 + i
             rng, key = jax.random.split(rng)
             nxt = _sample_step(model, ids_buf, cur, last_logits, key,
-                               temperature, top_k, nucleus_p)
+                               temperature, top_k, nucleus_p, approx_top_k)
             ids_buf = jax.lax.dynamic_update_slice(ids_buf, nxt[:, None],
                                                    (0, cur))
             logits, cache = decoder_step(model, p, nxt[:, None], cache,
@@ -196,7 +200,7 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
             out.logits, jnp.full((bs, 1, 1), cur - 1), axis=1)[:, 0]
         rng, key = jax.random.split(rng)
         nxt = _sample_step(model, ids_buf, cur, last, key, temperature,
-                           top_k, nucleus_p)
+                           top_k, nucleus_p, approx_top_k)
         ids_buf = jax.lax.dynamic_update_slice(ids_buf, nxt[:, None], (0, cur))
         return ids_buf, rng
 

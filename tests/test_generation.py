@@ -696,3 +696,32 @@ def test_int8_serving_composes_on_encoder_subtree():
     g_exact = np.asarray(model.generate(params, img, prompt,
                                         max_new_tokens=5, temperature=0.0))
     assert (g == g_exact).mean() >= 0.5
+
+
+def test_sample_topk_with_ngram_approx_mode():
+    """approx=True (serving mode): bans are still never sampled (banned
+    ids are masked inside the candidate head or absent from it), and the
+    greedy path ignores the flag entirely (deterministic-exact)."""
+    from image2text_tpu.models.sampling import (apply_no_repeat_ngram,
+                                                sample_topk_with_ngram)
+
+    rng = np.random.default_rng(13)
+    vocab, b, l = 5000, 4, 40
+    ns = (1,)  # every seen token banned: strongest ban pressure
+    buf = jnp.asarray(rng.integers(0, 50, (b, l)).astype(np.int32))
+    cur = jnp.asarray(39)
+    logits = np.asarray(rng.standard_normal((b, vocab)), np.float32)
+    logits[:, :50] += 10.0  # banned ids dominate the head
+    logits = jnp.asarray(logits)
+    banned = np.asarray(apply_no_repeat_ngram(logits, buf, cur, ns))
+    seen = np.asarray(buf)
+    for trial in range(5):
+        got = np.asarray(sample_topk_with_ngram(
+            logits, buf, cur, ns, jax.random.PRNGKey(trial), 0.7, 16,
+            approx=True))
+        for r in range(b):
+            assert got[r] not in seen[r, :39], "sampled a banned token"
+    # greedy: flag is forced off — identical to the exact banned argmax
+    got = np.asarray(sample_topk_with_ngram(
+        logits, buf, cur, ns, jax.random.PRNGKey(0), 0.0, None, approx=True))
+    np.testing.assert_array_equal(got, np.asarray(jnp.argmax(banned, -1)))
