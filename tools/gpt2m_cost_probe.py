@@ -89,10 +89,12 @@ def main(load_in_4bit: bool):
         costs[n] = ca
         print(f"n={n}: flops={ca.get('flops', 0)/1e12:.3f} TFLOP, "
               f"bytes={ca.get('bytes accessed', 0)/1e9:.3f} GB", flush=True)
-    d = HI - LO
-    flops = (costs[HI].get("flops", 0) - costs[LO].get("flops", 0)) / d
-    byac = (costs[HI].get("bytes accessed", 0)
-            - costs[LO].get("bytes accessed", 0)) / d
+    # Finding: XLA's cost model counts a fori_loop BODY once regardless of
+    # trip count (n=2 and n=12 report identical totals), so the slope is
+    # zero and the per-program absolutes ARE the per-step cost (the loop
+    # body dominates; setup ops are shared noise).
+    flops = costs[HI].get("flops", 0)
+    byac = costs[HI].get("bytes accessed", 0)
     out = {
         "variant": "int4+lora" if load_in_4bit else "bf16-frozen+lora",
         "batch": b,
@@ -101,8 +103,17 @@ def main(load_in_4bit: bool):
         "mxu_floor_ms_at_197tflops": round(flops / 197e9, 1),
         "hbm_floor_ms_at_819gbs": round(byac / 819e6, 1),
         "slope_step_ms_recorded": 32059.2 if load_in_4bit else 30453.3,
+        "note": "cost model counts the while body once (n=2 == n=12); "
+                "absolutes above are per-step.  The recorded 32.1/30.5 s "
+                "slope readings are ~400x above this bound and inflate "
+                "both variants identically — consistent with pooled-chip "
+                "time-slicing of minutes-long dispatches, not program "
+                "cost; treat the int4-vs-bf16 RATIO (1.05x) as the "
+                "meaningful number.",
     }
     print(json.dumps(out))
+    with open("GPT2M_COST.jsonl", "a") as f:
+        f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":
