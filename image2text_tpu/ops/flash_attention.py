@@ -632,6 +632,16 @@ def flash_attention_compatible(q: jax.Array, k: jax.Array, v: jax.Array,
     # small problems better than a tiled kernel grid.
     if q.shape[0] * q.shape[1] * q.shape[-2] * k.shape[-2] < 1 << 25:
         return None
+    # Second decision-grade condition (PROFILE_ENCODER.json, healthy 187
+    # TFLOP/s window): per-row KV length must be large enough to fill the
+    # kernel's kv tile.  The flagship encoder's sparse blocks (b256, h8,
+    # s_q=s_kv=160 — 52M score elements, comfortably past the total-work
+    # gate) measured flash 96.8 ms vs XLA 86.2 ms over the 12-block stack:
+    # at s_kv=160 the 1024-wide kv tile is ~84% padding, while XLA fuses
+    # the small dense problem.  s_kv=320 (flagship train step) still wins
+    # at 1.05× end-to-end (BENCH_TRAIN.json), so the cut sits at 256.
+    if k.shape[-2] < 256:
+        return None
     if k.shape[1] not in (1, q.shape[1]):
         # grouped-query KV: the kernel serves MQA (hk=1) and full-head
         # layouts natively; for grouped layouts repeat K/V to full heads

@@ -370,3 +370,32 @@ def test_flash_dropout_multiblock_fwd_and_grads():
     for a, b_ in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_dispatch_gate_short_kv_rows(monkeypatch):
+    """Decision-grade dispatch conditions (BENCH_KERNELS.json +
+    PROFILE_ENCODER.json): the gate must reject rows with s_kv < 256 even
+    when total score work clears 2^25 (the flagship encoder's sparse
+    blocks — b256/h8/s160, 52M elements — measured flash 96.8 ms vs XLA
+    86.2 ms), and must still dispatch the flagship train shape
+    (b48/h8/s320, 39M elements, measured 1.05x flash win)."""
+    import image2text_tpu.ops.flash_attention as fa
+
+    sentinel = object()
+    monkeypatch.setattr(fa, "flash_sdpa",
+                        lambda *a, **kw: sentinel)
+
+    def qkv(b, h, s, d=128):
+        z = jnp.zeros((b, h, s, d), jnp.bfloat16)
+        return z, z, z
+
+    # encoder sparse-block shape: past the work gate, short kv rows -> XLA
+    q, k, v = qkv(256, 8, 160)
+    assert fa.flash_attention_compatible(q, k, v, None) is None
+    # flagship train shape: both gates pass -> kernel
+    q, k, v = qkv(48, 8, 320)
+    assert fa.flash_attention_compatible(q, k, v, None) is sentinel
+    # single-token decode step: fails the work gate -> XLA
+    q, _, _ = qkv(256, 8, 1)
+    _, k, v = qkv(256, 1, 320)
+    assert fa.flash_attention_compatible(q, k, v, None) is None
