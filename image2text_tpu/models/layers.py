@@ -57,6 +57,7 @@ from image2text_tpu.nn.modules import (
 )
 from image2text_tpu.ops.attention import causal_bias, sdpa
 from image2text_tpu.ops.functions import normalize_gradients
+from image2text_tpu.ops.static_gather import static_combine, static_take
 
 
 # ---------------------------------------------------------------------------
@@ -465,7 +466,7 @@ class TransformerBlock(Module):
             if idx.shape[0] <= 1:
                 return x_orig + self.null_connector(p["null_connector"], x_orig)
             not_idx = self.not_idx_np[self.not_idx_np < t]
-            x = jnp.take(x_orig, idx, axis=1)
+            x = static_take(x_orig, idx)
             if attn_mask is not None:
                 attn_mask = jnp.take(jnp.take(attn_mask, idx, axis=-2), idx, axis=-1)
         else:
@@ -490,11 +491,11 @@ class TransformerBlock(Module):
         x = normalize_gradients(x)
         if not self.is_sparse:
             return sp_constrain(self, x, ctx, kv_cache)
-        x_final = jnp.zeros_like(x_orig)
-        x_final = x_final.at[:, idx].set(x.astype(x_orig.dtype))
-        bypass = jnp.take(x_orig, not_idx, axis=1)
-        x_final = x_final.at[:, not_idx].set(
-            bypass + self.null_connector(p["null_connector"], bypass))
+        bypass = static_take(x_orig, not_idx)
+        x_final = static_combine(
+            x.astype(x_orig.dtype),
+            bypass + self.null_connector(p["null_connector"], bypass),
+            idx, not_idx)
         if sparse_rule_len is not None:
             # fixed-size re-forward buffers (generation fallback): the
             # reference evaluates the global <2-selected bypass rule at the
@@ -553,19 +554,18 @@ class TransformerBlock(Module):
                 return null_path(x_orig)
             local = np.asarray(local)
             not_local = np.asarray(sorted(set(range(t)) - set(local.tolist())))
-            x = body(jnp.take(x_orig, local, axis=1))   # writes selected KV
+            x = body(static_take(x_orig, local))   # writes selected KV
             # global bypass rule at this chunk's length: <2 selected so far
             # → every position takes the null path (KV stays written — it
             # depends only on the layer INPUT and later steps attend it)
             last = min(int(positions[-1]), len(self._cum_sel_np) - 1)
             if int(self._cum_sel_np[last]) < 2:
                 return null_path(x_orig)
-            x_final = jnp.zeros_like(x_orig)
-            x_final = x_final.at[:, local].set(x.astype(x_orig.dtype))
-            if len(not_local):
-                bypass = jnp.take(x_orig, not_local, axis=1)
-                x_final = x_final.at[:, not_local].set(null_path(bypass))
-            return x_final
+            bypass = static_take(x_orig, not_local) if len(not_local) else None
+            return static_combine(
+                x.astype(x_orig.dtype),
+                null_path(bypass) if bypass is not None else x[:, :0],
+                local, not_local)
 
         # single-token decode: traced position → gated write + select
         assert t == 1, "traced-position sparse decode is single-token"

@@ -148,6 +148,37 @@ def main(batch: int):
                         approximate=True)
         return x + moe_fused_linear(mp["c_proj"], blk.mlp.c_proj, h)
 
+    def scatter_onehot_body(p, xf):
+        from image2text_tpu.ops.static_gather import (static_combine,
+                                                      static_take)
+        x = static_take(xf, idx)
+        bypass = static_take(xf, not_idx)
+        return static_combine(
+            x, bypass + blk.null_connector(p["null_connector"], bypass),
+            idx, not_idx)
+
+    def attn_linear_body(p, x):
+        # projections without SDPA: ln_1 + q_proj + out_proj + kv_proj
+        a = blk.attn
+        xn = blk.ln_1(p["ln_1"], x)
+        q = a.q_proj(p["attn"]["q_proj"], xn)
+        kv = a.kv_proj(p["attn"]["kv_proj"], xn)
+        return a.out_proj(p["attn"]["out_proj"], q) + kv.mean().astype(x.dtype)
+
+    def attn_sdpa_body(p, x):
+        # SDPA + kv_proj + head reshapes (q from a reshape, no q/out proj)
+        from image2text_tpu.ops.attention import sdpa
+        a = blk.attn
+        b, t, c = x.shape
+        hd = c // a.n_head
+        kv = a.kv_proj(p["attn"]["kv_proj"], x)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = x.reshape(b, t, a.n_head, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, 1, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, 1, hd).transpose(0, 2, 1, 3)
+        y = sdpa(q, k, v, mask=None, ctx=EVAL, use_flash=False, causal=False)
+        return y.transpose(0, 2, 1, 3).reshape(b, t, c)
+
     def scatter_body(p, xf):
         x = jnp.take(xf, idx, axis=1)
         x_final = jnp.zeros_like(xf)
@@ -173,6 +204,9 @@ def main(batch: int):
         "mlp_fused": (loop(mlp_fused_body), (bp, x_sel)),
         "scatter": (loop(scatter_body), (bp, x_full)),
         "scatter_gather": (loop(scatter_gather_body), (bp, x_full)),
+        "scatter_onehot": (loop(scatter_onehot_body), (bp, x_full)),
+        "attn_linear": (loop(attn_linear_body), (bp, x_sel)),
+        "attn_sdpa": (loop(attn_sdpa_body), (bp, x_sel)),
         "full": (loop(full_body), (bp, x_full)),
     }
 
