@@ -24,7 +24,9 @@ commit_artifacts() {
 echo "=== [1/3] bench.py $(date) ==="
 timeout 5400 python bench.py > /tmp/q10_bench.log 2>&1
 echo "bench rc=$?"
-commit_artifacts "Record serving bench after one-hot sparse reassembly" BENCH_QUEUE_r03b.json BENCH_r03.json
+# bench.py prints its JSON line to stdout only — capture it into the artifact
+grep -o '^{.*}$' /tmp/q10_bench.log | tail -1 > BENCH_QUEUE_r03c.json
+commit_artifacts "Record serving bench after one-hot sparse reassembly" BENCH_QUEUE_r03c.json BENCH_r03.json
 
 echo "=== [2/3] encoder_block_probe 256 $(date) ==="
 PHASE_PROBE_WAIT_MIN=20 timeout 2700 python tools/encoder_block_probe.py 256 > /tmp/q10_block256.log 2>&1
