@@ -28,6 +28,7 @@ from image2text_tpu.configs.models import (
 from image2text_tpu.nn.core import Ctx, Module, ModuleList, dropout, normal_init, zeros_init, _path_key
 from image2text_tpu.nn.modules import Embedding, LayerNorm
 from image2text_tpu.models.layers import AdvancedPositionalBiasMLP, TransformerBlock
+from image2text_tpu.ops.static_gather import canonicalize
 
 
 GPT2_MODEL_TABLE = {
@@ -235,6 +236,12 @@ class TransformerDecoder(Decoder):
             x = inputs_embeds + pos_emb.astype(inputs_embeds.dtype)
         x, ctx = dropout(x, self.dropout_rate, ctx.fold(2))
 
+        # lazy sparse layout (see TransformerBlock.forward): only the
+        # plain forward threads it — the cached path manages its own
+        # slot-rank gathers and the generation fallback's global bypass
+        # rule needs canonical buffers per block
+        lazy = kv_cache is None and sparse_rule_len is None
+        layout = None
         for depth, blk in enumerate(self.blocks):
             if self.skip_alternate_cross_attn:
                 cross_inputs = cross_attn_embeds if depth % 2 == 0 else None
@@ -242,10 +249,15 @@ class TransformerDecoder(Decoder):
                 cross_inputs = cross_attn_embeds
             bp = p["transformer"]["h"][str(depth)]
             bctx = ctx.fold(100 + depth)
+            new_layout = blk.next_layout(layout, x.shape[1]) if lazy else None
             if self.enable_gradient_checkpointing and ctx.train:
-                def run(bp_, x_, ci_, am_, rng_, blk_=blk):
-                    return blk_(bp_, x_, cross_attn_inputs=ci_, attn_mask=am_,
-                                ctx=Ctx(rng=rng_, train=True), use_flash=use_flash)
+                def run(bp_, x_, ci_, am_, rng_, blk_=blk, layout_=layout,
+                        lazy_=lazy):
+                    out = blk_(bp_, x_, cross_attn_inputs=ci_, attn_mask=am_,
+                               ctx=Ctx(rng=rng_, train=True),
+                               use_flash=use_flash, layout=layout_,
+                               want_lazy=lazy_)
+                    return out[0] if lazy_ else out
                 x = jax.checkpoint(
                     run, policy=getattr(self, "_remat_policy", None))(
                         bp, x, cross_inputs, attn_msk, bctx.rng)
@@ -255,7 +267,13 @@ class TransformerDecoder(Decoder):
                         cross_attn_inputs=None if ckv is not None else cross_inputs,
                         attn_mask=attn_msk, ctx=bctx, use_flash=use_flash,
                         kv_cache=kv_cache, cross_kv=ckv,
-                        sparse_rule_len=sparse_rule_len)
+                        sparse_rule_len=sparse_rule_len,
+                        layout=layout, want_lazy=lazy)
+                if lazy:
+                    x = x[0]
+            layout = new_layout
+        if layout is not None:
+            x = canonicalize(x, layout)
         x = self.ln_f(p["transformer"]["ln_f"], x)
         wte = p["transformer"]["wte"]
         if "qweight" in wte:

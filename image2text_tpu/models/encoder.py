@@ -18,7 +18,9 @@ from typing import Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from image2text_tpu.ops.static_gather import layout_rows, static_take
 from image2text_tpu.configs.models import (
     PretrainedViTConfig,
     VisionTransformerEncoderConfig,
@@ -201,19 +203,32 @@ class VisionTransformerEncoder(Encoder):
                                (n, self.n_cls, self.out_dim))
         x = jnp.concatenate([cls, self.ln_input(p["ln_input"], y)], axis=1)
         x, ctx = dropout(x, self.dropout_rate, ctx)
+        # lazy sparse layout: consecutive sparse blocks compose their static
+        # gathers instead of reassembling canonical order per block (the
+        # per-block combine permutation was 2.0-2.5 ms/block at batch 256,
+        # PROFILE_ENC_BLOCK.json); `layout` is trace-time numpy bookkeeping
+        layout = None
         for depth, blk in enumerate(self.blocks):
             bp = p["transformer"]["h"][str(depth)]
             bctx = ctx.fold(100 + depth)
+            new_layout = blk.next_layout(layout, x.shape[1])
             if self.enable_gradient_checkpointing and ctx.train:
-                def run(bp_, x_, rng_):
-                    return blk(bp_, x_, ctx=Ctx(rng=rng_, train=True))
+                def run(bp_, x_, rng_, blk_=blk, layout_=layout):
+                    out = blk_(bp_, x_, ctx=Ctx(rng=rng_, train=True),
+                               layout=layout_, want_lazy=True)
+                    return out[0]
                 x = jax.checkpoint(
                     run, policy=getattr(self, "_remat_policy", None))(
                         bp, x, bctx.rng)
             else:
-                x = blk(bp, x, ctx=bctx)
+                x = blk(bp, x, ctx=bctx, layout=layout, want_lazy=True)[0]
+            layout = new_layout
         ln_f = self.transformer._children["ln_f"]
-        return ln_f(p["transformer"]["ln_f"], x[:, :self.n_cls])
+        if layout is None:
+            cls = x[:, :self.n_cls]
+        else:  # only the CLS rows ever need canonical reassembly
+            cls = static_take(x, layout_rows(layout, np.arange(self.n_cls)))
+        return ln_f(p["transformer"]["ln_f"], cls)
 
     @property
     def num_outputs(self) -> int:

@@ -57,7 +57,8 @@ from image2text_tpu.nn.modules import (
 )
 from image2text_tpu.ops.attention import causal_bias, sdpa
 from image2text_tpu.ops.functions import normalize_gradients
-from image2text_tpu.ops.static_gather import static_combine, static_take
+from image2text_tpu.ops.static_gather import (canonicalize, layout_rows,
+                                              static_combine, static_take)
 
 
 # ---------------------------------------------------------------------------
@@ -219,11 +220,20 @@ class MoELinear(Module):
                        preferred_element_type=jnp.float32).astype(dt) \
             + p["l1_bias"].astype(dt)
         h = gelu_tanh(h)
-        y = jnp.einsum("...ep,eop->...eo", h, p["l2_weight"].astype(dt),
-                       preferred_element_type=jnp.float32).astype(dt) \
-            + p["l2_bias"].astype(dt)
-        return jnp.einsum("...e,...eo->...o", combine.astype(dt), y,
-                          preferred_element_type=jnp.float32).astype(dt)
+        # fold the combine weights into the (tiny) low-rank activations and
+        # contract expert+proj axes at once:   Σ_e c_e·(h_e·W2_e + b_e)
+        # = (c⊙h)·W2 + c·b — algebraically identical, but the per-expert
+        # output tensor (..., e, out) is never materialised (it was
+        # num_experts × hidden floats per token of pure HBM traffic; the
+        # MoE FFN measured 2.07 ms/block at batch 256 against a ~0.7 ms
+        # floor, PROFILE_ENC_BLOCK.json)
+        hw = h * combine[..., None].astype(dt)
+        y = jnp.einsum("...ep,eop->...o", hw, p["l2_weight"].astype(dt),
+                       preferred_element_type=jnp.float32)
+        y = y + jnp.einsum("...e,eo->...o", combine,
+                           p["l2_bias"].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        return y.astype(dt)
 
 
 class _MoEMLP(Module):
@@ -452,21 +462,55 @@ class TransformerBlock(Module):
                      & (self.idx_np < self.n_cls + max_len)).sum())
         return self.attn.kv_shape(batch, max(n_sel, 1))
 
+    def next_layout(self, layout, t: int):
+        """Static row layout this block's lazy path would emit for a stream
+        of ``t`` rows entering under ``layout`` (None = canonical).  Pure
+        trace-time bookkeeping for the block loops — must mirror
+        ``forward(want_lazy=True)`` exactly."""
+        if not self.is_sparse:
+            return None
+        idx = self.idx_np[self.idx_np < t]
+        if idx.shape[0] <= 1:
+            return layout  # whole-stream null path keeps row order
+        not_idx = self.not_idx_np[self.not_idx_np < t]
+        return np.concatenate([idx, not_idx])
+
     def forward(self, p, x_orig, cross_attn_inputs=None, attn_mask=None,
                 ctx: Ctx = Ctx(), use_flash: bool = True, kv_cache=None,
-                cross_kv=None, sparse_rule_len=None, **kwargs):
+                cross_kv=None, sparse_rule_len=None, layout=None,
+                want_lazy: bool = False, **kwargs):
+        """``layout``/``want_lazy`` (lazy sparse reassembly): when the
+        block loops thread a static row ``layout`` (stream row j holds
+        canonical position layout[j]) and ask for a lazy return, a sparse
+        block composes its static gathers with the incoming layout and
+        returns ``(stream, new_layout)`` WITHOUT the end-of-block
+        combine permutation — consecutive sparse blocks then cost one
+        gather each instead of gather+scatter, and the stack reassembles
+        once at the end (``ops.static_gather.canonicalize``).  Bitwise
+        equal to the eager path (one-hot gathers are exact; pinned by
+        tests/test_static_gather.py)."""
         if self.is_sparse and kv_cache is not None:
+            assert layout is None and not want_lazy, \
+                "lazy sparse layout is a non-cached-forward optimization"
             return self._sparse_cached_forward(
                 p, x_orig, cross_attn_inputs, attn_mask, ctx, use_flash,
                 kv_cache, cross_kv)
+        if layout is not None and not self.is_sparse:
+            x_orig = canonicalize(x_orig, layout)  # dense block: canonical
+            layout = None
         x_orig = sp_constrain(self, x_orig, ctx, kv_cache)
         if self.is_sparse:
+            assert sparse_rule_len is None or layout is None, \
+                "the generation fallback runs blocks in canonical order"
             t = x_orig.shape[1]
             idx = self.idx_np[self.idx_np < t]
             if idx.shape[0] <= 1:
-                return x_orig + self.null_connector(p["null_connector"], x_orig)
+                out = x_orig + self.null_connector(p["null_connector"], x_orig)
+                if want_lazy:
+                    return out, layout
+                return out if layout is None else canonicalize(out, layout)
             not_idx = self.not_idx_np[self.not_idx_np < t]
-            x = static_take(x_orig, idx)
+            x = static_take(x_orig, layout_rows(layout, idx))
             if attn_mask is not None:
                 attn_mask = jnp.take(jnp.take(attn_mask, idx, axis=-2), idx, axis=-1)
         else:
@@ -490,12 +534,18 @@ class TransformerBlock(Module):
         x = x + self.mlp(p["mlp"], self.ln_2(p["ln_2"], x), ctx=ctx.fold(3))
         x = normalize_gradients(x)
         if not self.is_sparse:
-            return sp_constrain(self, x, ctx, kv_cache)
-        bypass = static_take(x_orig, not_idx)
+            out = sp_constrain(self, x, ctx, kv_cache)
+            return (out, None) if want_lazy else out
+        bypass = static_take(x_orig, layout_rows(layout, not_idx))
+        bypass_out = bypass + self.null_connector(p["null_connector"], bypass)
+        if want_lazy:
+            # same operand dtypes as the eager static_combine concat
+            stream = jnp.concatenate([x.astype(x_orig.dtype), bypass_out],
+                                     axis=1)
+            return (sp_constrain(self, stream, ctx, kv_cache),
+                    np.concatenate([idx, not_idx]))
         x_final = static_combine(
-            x.astype(x_orig.dtype),
-            bypass + self.null_connector(p["null_connector"], bypass),
-            idx, not_idx)
+            x.astype(x_orig.dtype), bypass_out, idx, not_idx)
         if sparse_rule_len is not None:
             # fixed-size re-forward buffers (generation fallback): the
             # reference evaluates the global <2-selected bypass rule at the

@@ -69,3 +69,36 @@ def static_combine(x_sel, x_not, idx, not_idx):
     return jnp.einsum(
         "tc,bcd->btd", jnp.asarray(mat, cat.dtype), cat,
         preferred_element_type=jnp.float32).astype(cat.dtype)
+
+
+def canonicalize(x, layout):
+    """Undo a static row ``layout``: ``out[:, layout[j]] = x[:, j]`` as one
+    permutation matmul (bitwise equal to a scatter, like static_combine).
+
+    ``layout`` maps stream row j → canonical sequence position; it is the
+    trace-time bookkeeping that lets consecutive sparse blocks skip the
+    combine↔take permutation pair entirely (see TransformerBlock's lazy
+    path) and reassemble only once at the end of the stack."""
+    layout = np.asarray(layout)
+    if not _matmul_eligible(x):
+        out = jnp.zeros_like(x)
+        return out.at[:, layout].set(x)
+    t = layout.size
+    mat = np.zeros((t, t), np.float32)
+    mat[layout, np.arange(t)] = 1.0
+    return jnp.einsum(
+        "tc,bcd->btd", jnp.asarray(mat, x.dtype), x,
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def layout_rows(layout, canonical_idx):
+    """Stream-row indices holding canonical positions ``canonical_idx``
+    under ``layout`` (identity when ``layout`` is None) — composes a
+    canonical-index gather with the current lazy layout at trace time."""
+    canonical_idx = np.asarray(canonical_idx)
+    if layout is None:
+        return canonical_idx
+    layout = np.asarray(layout)
+    pos_of = np.empty(layout.size, np.int64)
+    pos_of[layout] = np.arange(layout.size)
+    return pos_of[canonical_idx]
