@@ -140,16 +140,23 @@ def main(batch: int):
             return acc
         return jax.jit(fn)
 
-    def blocks_loop(n, module, mp, use_flash):
+    def blocks_loop(n, module, mp, use_flash, lazy=False):
         blocks = module.blocks
 
         def fn(p, x0):
             def body(i, carry):
                 x0, acc = carry
                 x = x0
+                layout = None
                 for depth, blk in enumerate(blocks):
                     bp = p["transformer"]["h"][str(depth)]
-                    x = blk(bp, x, ctx=EVAL, use_flash=use_flash)
+                    if lazy:  # the encoder.forward path (lazy layouts)
+                        new_layout = blk.next_layout(layout, x.shape[1])
+                        x = blk(bp, x, ctx=EVAL, use_flash=use_flash,
+                                layout=layout, want_lazy=True)[0]
+                        layout = new_layout
+                    else:
+                        x = blk(bp, x, ctx=EVAL, use_flash=use_flash)
                 acc = x.mean().astype(x0.dtype)
                 return x0 + acc * jnp.asarray(1e-8, x0.dtype), acc
             _, acc = jax.lax.fori_loop(
@@ -164,6 +171,8 @@ def main(batch: int):
                    blocks_loop(HI, enc, ep, True), (ep, x0)),
         "blocks_noflash": (blocks_loop(LO, enc, ep, False),
                            blocks_loop(HI, enc, ep, False), (ep, x0)),
+        "blocks_lazy": (blocks_loop(LO, enc, ep, False, lazy=True),
+                        blocks_loop(HI, enc, ep, False, lazy=True), (ep, x0)),
         "blocks_dense": (blocks_loop(LO, dmod, dp, True),
                          blocks_loop(HI, dmod, dp, True), (dp, x0)),
     }
