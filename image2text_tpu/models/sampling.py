@@ -107,6 +107,70 @@ def no_repeat_ngram_bias(ids_buf: jax.Array, cur_len: jax.Array,
 
 
 SMALL_K_FULLROW = 64
+GATHER_CHUNK = 128
+
+
+def gathered_top_k(logits: jax.Array, k: int,
+                   chunk: int = GATHER_CHUNK,
+                   onehot_gather: bool = True) -> Tuple[jax.Array,
+                                                        jax.Array]:
+    """Exact small-k top-k via threshold-gather: sort a ~k·chunk-wide row
+    instead of the full vocab.
+
+    The top-k values of a row live in at most k of its ``chunk``-wide
+    blocks, and any block containing one of them has a block-max >= that
+    value — so the k blocks with the largest maxes are guaranteed to
+    cover the true top-k (if a top-k element x sat outside them, k
+    selected blocks would each hold an element > x, contradicting x's
+    rank).  One cheap VPU max-reduce over the row, a tiny top-k over the
+    block maxes, a (k, chunk) gather, and the expensive sort runs on
+    k·chunk elements instead of V.  Top-k VALUES are exact; index
+    tie-breaks at equal values may differ from ``lax.top_k``'s
+    lowest-index rule (same caveat as the chunked formulation).
+
+    Returns (values, indices), both (..., k), values descending.
+    """
+    v = logits.shape[-1]
+    lead = logits.shape[:-1]
+    c = -(-v // chunk)
+    if k >= c:  # selecting every block == the full row
+        return jax.lax.top_k(logits, k)
+    pad = c * chunk - v
+    if pad:
+        logits = jnp.pad(logits, [(0, 0)] * len(lead) + [(0, pad)],
+                         constant_values=NEG_INF)
+    blocks = logits.reshape(*lead, c, chunk)
+    _, bidx = jax.lax.top_k(jnp.max(blocks, axis=-1), k)       # (..., k)
+    if onehot_gather:
+        # XLA lowers the per-row dynamic block gather row-granularly
+        # (~1 ms at (256, 50304) — the formulation's dominant term); a
+        # one-hot f32 matmul is exact (each output row is 1.0·block +
+        # 0.0·rest; adding exact zeros is exact) and runs on the MXU.
+        # -inf inputs (banned tokens, zero-prob gumbel rows) would turn
+        # the zero terms into 0·-inf = NaN, so they are clamped for the
+        # dot and restored after — only rows with fewer than k finite
+        # entries even see the difference, and they get the same -inf
+        # values back (index tie-breaks may differ).  The clamp must be
+        # bf16-REPRESENTABLE: the TPU MXU computes f32 dots via bf16
+        # decomposition, and float32.min (-3.4028e38) rounds to -inf in
+        # bf16 (max finite 3.3895e38), recreating the 0·-inf = NaN this
+        # clamp exists to prevent (observed on v5e).
+        # precision=HIGHEST: the MXU truncates f32 operands to bf16 at
+        # default precision (lossy for arbitrary f32 logits); the
+        # multi-pass decomposition reconstructs the full mantissa and is
+        # bitwise equal to the dynamic gather (asserted on-chip and by
+        # tests/test_generation.py::test_gathered_top_k_exact)
+        fmin = jnp.float32(-1e38)
+        oh = jax.nn.one_hot(bidx, c, dtype=blocks.dtype)       # (..., k, C)
+        gathered = jnp.einsum("...kc,...cw->...kw", oh,
+                              jnp.maximum(blocks, fmin),
+                              precision=jax.lax.Precision.HIGHEST)
+        gathered = jnp.where(gathered <= fmin, NEG_INF, gathered)
+    else:
+        gathered = jnp.take_along_axis(blocks, bidx[..., None], axis=-2)
+    vals, gi = jax.lax.top_k(gathered.reshape(*lead, k * chunk), k)
+    sel_block = jnp.take_along_axis(bidx, gi // chunk, axis=-1)
+    return vals, sel_block * chunk + gi % chunk
 
 
 def chunked_top_k(logits: jax.Array, k: int,
@@ -114,11 +178,13 @@ def chunked_top_k(logits: jax.Array, k: int,
     """Exact top-k over a large vocab, TPU-fast.
 
     Dispatch is probe-derived (tools/topk_probe.py, PROBE_TOPK.jsonl,
-    healthy 186 TFLOP/s windows, vocab 50258, k=48): plain
-    ``jax.lax.top_k`` beats every chunk width — 1.05 ms vs 1.93 (chunk
-    2048) at batch 128, 2.15 vs 5.18 at batch 256 — so small-k requests
-    (k <= 64, the measured regime: serving top-k pulls, beam expansion)
-    go straight to the full row.  Wider pulls keep the chunked
+    healthy 185-187 TFLOP/s windows, vocab 50258, k=48): small-k
+    requests (k <= 64 — serving top-k pulls, beam expansion) go to
+    :func:`gathered_top_k` (threshold-gather with the one-hot MXU
+    gather, chunk 128: 0.38 / 0.88 / 5.61 ms at batch 128/256/1024 vs
+    1.05 / 2.19 / 10.41 for the plain full-row ``jax.lax.top_k`` the
+    round-3 sampler rework dispatched to, vs 1.94 / 5.17 / 23.2 for
+    the chunked sort round 2 used).  Wider pulls keep the chunked
     formulation (sort 2048-wide chunks, re-select among per-chunk
     winners — identical top-k VALUES, exact as long as k <= chunk)
     until a probe extends the table.
@@ -126,10 +192,20 @@ def chunked_top_k(logits: jax.Array, k: int,
     Returns (values, indices), both (..., k), values descending.
     """
     v = logits.shape[-1]
-    if v <= chunk or k > chunk or k <= SMALL_K_FULLROW:
+    if k <= SMALL_K_FULLROW and v > 4 * GATHER_CHUNK:
+        return gathered_top_k(logits, k)
+    if v <= chunk or k > chunk:
         # k > chunk would break the per-chunk winners invariant; such
         # huge-k requests are rare enough for the plain full sort
         return jax.lax.top_k(logits, k)
+    return _chunked_sort_top_k(logits, k, chunk)
+
+
+def _chunked_sort_top_k(logits: jax.Array, k: int,
+                        chunk: int) -> Tuple[jax.Array, jax.Array]:
+    """The raw chunked-sort formulation (round 2): sort chunk-wide blocks,
+    re-select among per-chunk winners.  Exact values for k <= chunk."""
+    v = logits.shape[-1]
     lead = logits.shape[:-1]
     c = -(-v // chunk)
     pad = c * chunk - v

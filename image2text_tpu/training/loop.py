@@ -93,6 +93,10 @@ def make_train_step(wrapper: ModelTrainerWrapper, tx,
     grad_fn = _value_and_grad_float(loss_fn)
 
     def step_fn(state: TrainState, images, labels, rng):
+        # Python side effect: runs once per (re)trace, never per step.
+        # Regression hook for the step-2-retrace bugs (denormal specs /
+        # GSPMD round-trip) — tests assert traces stays at 1 across steps.
+        step_fn.traces += 1
         rng = jax.random.fold_in(rng, state.step)
         if accum_steps > 1:
             b = images.shape[0]
@@ -142,6 +146,7 @@ def make_train_step(wrapper: ModelTrainerWrapper, tx,
             params["model_m"] = wrapper.momentum_update(params)
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    step_fn.traces = 0
     return step_fn
 
 

@@ -370,6 +370,65 @@ def test_chunked_top_k_exact():
             np.asarray(vals))
 
 
+def test_gathered_top_k_exact():
+    """gathered_top_k (threshold-gather) returns lax.top_k's exact values
+    on random rows, non-divisible vocabs, ties, and rows whose entire
+    top-k sits inside a single chunk."""
+    from image2text_tpu.models.sampling import gathered_top_k
+
+    rng = np.random.default_rng(2)
+    for v in (50258, 50304, 777):
+        for k in (1, 16, 48):
+            logits = jnp.asarray(rng.standard_normal((5, v)), jnp.float32)
+            vals, idx = gathered_top_k(logits, k)
+            ref_vals, ref_idx = jax.lax.top_k(logits, k)
+            np.testing.assert_array_equal(np.asarray(vals),
+                                          np.asarray(ref_vals))
+            # continuous draws: indices are a.s. distinct -> exact too
+            np.testing.assert_array_equal(np.asarray(idx),
+                                          np.asarray(ref_idx))
+    # whole top-k concentrated in one chunk (block-max selection must not
+    # assume one winner per block)
+    logits = jnp.zeros((2, 50258), jnp.float32)
+    logits = logits.at[:, 100:148].set(jnp.arange(48, dtype=jnp.float32))
+    vals, idx = gathered_top_k(logits, 8)
+    np.testing.assert_array_equal(np.asarray(vals),
+                                  np.asarray(jax.lax.top_k(logits, 8)[0]))
+    np.testing.assert_array_equal(
+        np.take_along_axis(np.asarray(logits), np.asarray(idx), axis=-1),
+        np.asarray(vals))
+    # ties across chunks: VALUES must still be exact
+    tied = jnp.zeros((1, 50258), jnp.float32).at[0, ::1000].set(5.0)
+    vals, idx = gathered_top_k(tied, 16)
+    np.testing.assert_array_equal(np.asarray(vals), np.full((1, 16), 5.0))
+    assert len(set(np.asarray(idx)[0].tolist())) == 16
+    # k >= number of blocks -> full-row fallback
+    small = jnp.asarray(rng.standard_normal((3, 700)), jnp.float32)
+    vals, idx = gathered_top_k(small, 5, chunk=256)
+    np.testing.assert_array_equal(np.asarray(vals),
+                                  np.asarray(jax.lax.top_k(small, 5)[0]))
+    # -inf inputs (beam sticky-EOS rows, banned tokens): the one-hot
+    # gather's clamp must not leak NaNs (0 * -inf) and must restore -inf
+    allneg = jnp.full((3, 50258), -np.inf, jnp.float32)
+    allneg = allneg.at[:, 7].set(1.0).at[:, 9000].set(0.5)
+    vals, idx = gathered_top_k(allneg, 16)
+    a = np.asarray(vals)
+    assert a[0, 0] == 1.0 and a[0, 1] == 0.5
+    assert np.all(np.isneginf(a[:, 2:])) and not np.any(np.isnan(a))
+    mixed = jnp.asarray(rng.standard_normal((4, 50258)), jnp.float32)
+    mixed = mixed.at[:, ::97].set(-np.inf)
+    vals, idx = gathered_top_k(mixed, 48)
+    ref_vals, ref_idx = jax.lax.top_k(mixed, 48)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(ref_vals))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    # the dynamic-gather variant stays exact too (probe baseline)
+    x = jnp.asarray(rng.standard_normal((5, 50258)), jnp.float32)
+    vals, idx = gathered_top_k(x, 48, onehot_gather=False)
+    ref_vals, ref_idx = jax.lax.top_k(x, 48)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(ref_vals))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
 def test_sample_logits_topk_distribution():
     """The fast top-k sampling path only emits top-k ids, with frequencies
     matching the softmax over the kept logits."""

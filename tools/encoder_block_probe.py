@@ -179,6 +179,26 @@ def main(batch: int):
         y = sdpa(q, k, v, mask=None, ctx=EVAL, use_flash=False, causal=False)
         return y.transpose(0, 2, 1, 3).reshape(b, t, c)
 
+    def attn_sdpa_foldflash_body(p, x, block_q=512, block_k=256):
+        # flash kernel on the MQA-FOLDED layout: query heads fold into the
+        # sequence axis (valid: no mask, non-causal, shared K/V head), so
+        # the kernel sees one long (b, 1, h*t, d) problem — large q tiles,
+        # K/V read once — instead of 2048 tiny (160, 160) cells.
+        from image2text_tpu.ops.flash_attention import flash_attention
+        a = blk.attn
+        b, t, c = x.shape
+        hd = c // a.n_head
+        kv = a.kv_proj(p["attn"]["kv_proj"], x)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = x.reshape(b, t, a.n_head, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, 1, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, 1, hd).transpose(0, 2, 1, 3)
+        qf = q.reshape(b, 1, a.n_head * t, hd)
+        y = flash_attention(qf, k, v, None, causal=False,
+                            block_q=block_q, block_k=block_k)
+        y = y.reshape(b, a.n_head, t, hd)
+        return y.transpose(0, 2, 1, 3).reshape(b, t, c)
+
     def scatter_body(p, xf):
         x = jnp.take(xf, idx, axis=1)
         x_final = jnp.zeros_like(xf)
@@ -207,6 +227,10 @@ def main(batch: int):
         "scatter_onehot": (loop(scatter_onehot_body), (bp, x_full)),
         "attn_linear": (loop(attn_linear_body), (bp, x_sel)),
         "attn_sdpa": (loop(attn_sdpa_body), (bp, x_sel)),
+        "attn_sdpa_foldflash": (loop(attn_sdpa_foldflash_body), (bp, x_sel)),
+        "attn_sdpa_foldflash_bq640": (
+            loop(lambda p, x: attn_sdpa_foldflash_body(p, x, 640, 256)),
+            (bp, x_sel)),
         "full": (loop(full_body), (bp, x_full)),
     }
 

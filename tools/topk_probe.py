@@ -42,7 +42,8 @@ from image2text_tpu.utils.compile_cache import setup_compile_cache
 setup_compile_cache("jaxcache-decode")
 import jax.numpy as jnp
 
-from image2text_tpu.models.sampling import chunked_top_k
+from image2text_tpu.models.sampling import (_chunked_sort_top_k,
+                                            gathered_top_k)
 
 LO, HI = 8, 104
 VOCAB = 50258
@@ -86,7 +87,10 @@ def main(batch: int, k: int):
         return run(LO), run(HI)
 
     def chunked(c):
-        return lambda l: chunked_top_k(l, k, chunk=c)
+        return lambda l: _chunked_sort_top_k(l, k, chunk=c)
+
+    def gathered(c, oh=False):
+        return lambda l: gathered_top_k(l, k, chunk=c, onehot_gather=oh)
 
     variants = {
         "chunk2048": mk(chunked(2048)),
@@ -94,6 +98,12 @@ def main(batch: int, k: int):
         "chunk512": mk(chunked(512)),
         "chunk256": mk(chunked(256)),
         "fullrow": mk(lambda l: jax.lax.top_k(l, k)),
+        "gather128": mk(gathered(128)),
+        "gather256": mk(gathered(256)),
+        "gather512": mk(gathered(512)),
+        "gather64_oh": mk(gathered(64, oh=True)),
+        "gather128_oh": mk(gathered(128, oh=True)),
+        "gather256_oh": mk(gathered(256, oh=True)),
     }
 
     # --- approx_max_k exactness validation (recall_target=1.0) -------------
@@ -107,7 +117,7 @@ def main(batch: int, k: int):
             r = np.random.default_rng(seed)
             x = jnp.asarray(r.standard_normal((batch, VOCAB)), jnp.float32)
             va, _ = jax.jit(approx_r1)(x)
-            vb, _ = jax.jit(lambda l: chunked_top_k(l, k))(x)
+            vb, _ = jax.jit(lambda l: _chunked_sort_top_k(l, k, 2048))(x)
             if not np.array_equal(np.asarray(va), np.asarray(vb)):
                 exact = False
                 break
