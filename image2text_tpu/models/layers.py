@@ -228,12 +228,17 @@ class MoELinear(Module):
         # MoE FFN measured 2.07 ms/block at batch 256 against a ~0.7 ms
         # floor, PROFILE_ENC_BLOCK.json)
         hw = h * combine[..., None].astype(dt)
+        # outputs drop to the compute dtype straight out of each einsum's
+        # f32 accumulator: keeping y in f32 through the bias add doubled
+        # the FFN's HBM traffic for precision the reference's autocast
+        # path never had (module 2.55 ms vs this form 1.74 ms per block at
+        # batch 256, PROFILE_ENC_BLOCK.json; identical in f32 runs)
         y = jnp.einsum("...ep,eop->...o", hw, p["l2_weight"].astype(dt),
-                       preferred_element_type=jnp.float32)
-        y = y + jnp.einsum("...e,eo->...o", combine,
-                           p["l2_bias"].astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
-        return y.astype(dt)
+                       preferred_element_type=jnp.float32).astype(dt)
+        yb = jnp.einsum("...e,eo->...o", combine.astype(dt),
+                        p["l2_bias"].astype(dt),
+                        preferred_element_type=jnp.float32).astype(dt)
+        return y + yb
 
 
 class _MoEMLP(Module):

@@ -179,6 +179,33 @@ def main(batch: int):
         y = sdpa(q, k, v, mask=None, ctx=EVAL, use_flash=False, causal=False)
         return y.transpose(0, 2, 1, 3).reshape(b, t, c)
 
+    def attn_sdpa_bf16s_body(p, x):
+        # candidate: materialise the scores in the storage dtype (bf16)
+        # instead of f32 — torch's math-backend SDPA does exactly this
+        # (bf16 matmul output, softmax upcasts internally), so our f32
+        # scores buffer is extra precision NEITHER torch path has, at 2x
+        # the HBM traffic of the XLA path's dominant term.
+        a = blk.attn
+        b, t, c = x.shape
+        hd = c // a.n_head
+        kv = a.kv_proj(p["attn"]["kv_proj"], x)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = x.reshape(b, t, a.n_head, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, 1, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, 1, hd).transpose(0, 2, 1, 3)
+        qf = q.reshape(b, 1, a.n_head * t, hd)
+        scores = jnp.matmul(qf, k.swapaxes(-1, -2),
+                            preferred_element_type=jnp.float32)
+        scores = (scores * (1.0 / hd ** 0.5)).astype(x.dtype)   # bf16 buffer
+        sf = scores.astype(jnp.float32)
+        m = jnp.max(sf, axis=-1, keepdims=True)
+        e = jnp.exp(sf - m)
+        probs = (e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
+                                 1e-9)).astype(x.dtype)
+        y = jnp.matmul(probs, v, preferred_element_type=jnp.float32)
+        y = y.astype(x.dtype).reshape(b, a.n_head, t, hd)
+        return y.transpose(0, 2, 1, 3).reshape(b, t, c)
+
     def attn_sdpa_foldflash_body(p, x, block_q=512, block_k=256):
         # flash kernel on the MQA-FOLDED layout: query heads fold into the
         # sequence axis (valid: no mask, non-causal, shared K/V head), so
@@ -231,6 +258,7 @@ def main(batch: int):
         "attn_sdpa_foldflash_bq640": (
             loop(lambda p, x: attn_sdpa_foldflash_body(p, x, 640, 256)),
             (bp, x_sel)),
+        "attn_sdpa_bf16s": (loop(attn_sdpa_bf16s_body), (bp, x_sel)),
         "full": (loop(full_body), (bp, x_full)),
     }
 
