@@ -92,6 +92,15 @@ def sdpa(
                         preferred_element_type=jnp.float32) * scale
     if g > 1:
         scores = scores.reshape(b, h, s, -1)
+    if q.dtype != jnp.float32:
+        # Materialise the (s, l) scores buffer in the storage dtype and
+        # upcast inside the softmax pass: torch's math-backend SDPA does
+        # exactly this (the bf16 matmul lands in bf16; softmax upcasts
+        # internally), so the f32 buffer was extra precision neither torch
+        # path has — at 2x the HBM traffic of the XLA path's dominant term
+        # (probe: 1.63 → 1.15 ms per encoder block at batch 256,
+        # PROFILE_ENC_BLOCK.json).  f32 inputs are untouched.
+        scores = scores.astype(q.dtype).astype(jnp.float32)
     if mask is not None:
         scores = scores + mask.astype(jnp.float32)
     # Safe softmax: fully-masked query rows produce zeros rather than NaN,
