@@ -39,6 +39,7 @@ from image2text_tpu.models.generation import decoder_step, precompute_cross_kv
 from image2text_tpu.models.sampling import (
     apply_no_repeat_ngram,
     apply_top_k,
+    chunked_top_k,
     gumbel_topk_sample,
 )
 
@@ -79,7 +80,7 @@ class BeamSearchTokenGenerator:
         scores = apply_top_k(scores, self.top_k)
         if self.temperature <= 0:
             prob = jax.nn.log_softmax(scores, axis=-1)
-            _, next_id = jax.lax.top_k(scores, bef)
+            _, next_id = chunked_top_k(scores, bef)   # gathered small-k pull
             log_scores = jnp.take_along_axis(prob, next_id, axis=-1)
         else:
             prob = jax.nn.log_softmax(scores / self.temperature, axis=-1)
