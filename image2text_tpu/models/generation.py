@@ -136,6 +136,16 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
     ids_buf = jnp.zeros((bs, total), prompt_ids.dtype)
     ids_buf = jax.lax.dynamic_update_slice_in_dim(ids_buf, prompt_ids, 0, axis=1)
 
+    # The decode loop samples from last-step logits in the COMPUTE dtype
+    # (the encoder output's): under bf16 serving this is exactly torch's
+    # autocast form (the reference's fp16 GPU runs produce fp16 logits,
+    # decoder.py:343-361 under training/utils.py:96 autocast) and halves
+    # every full-vocab pass of the per-step sampler — lm_head epilogue
+    # write, threshold-gather reads, and the fori_loop carry (the sampler
+    # itself is dtype-preserving and selection-exact, models/sampling.py).
+    # f32 runs (tests, CPU parity) are untouched.
+    cdt = encoder_output.dtype
+
     cross = encoder_output if model.use_cross_attn else None
 
     off = model.space_for_prompt
@@ -179,11 +189,11 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
             logits, cache = decoder_step(model, p, nxt[:, None], cache,
                                          off + cur, cross, use_flash,
                                          cross_kv=cross_kv)
-            return ids_buf, cache, logits[:, -1], rng
+            return ids_buf, cache, logits[:, -1].astype(cdt), rng
 
         ids_buf, _, _, _ = jax.lax.fori_loop(
             0, max_new_tokens, body,
-            (ids_buf, cache, logits[:, -1], rng))
+            (ids_buf, cache, logits[:, -1].astype(cdt), rng))
         return ids_buf
 
     # ---- full-reforward fallback (sparse-attention parity path) ----------
@@ -197,7 +207,7 @@ def generate(model, p, images, prompt_ids, max_new_tokens: int = 128,
                     encoder_output=encoder_output, ctx=EVAL,
                     use_flash=use_flash, sparse_rule_len=off + cur)
         last = jnp.take_along_axis(
-            out.logits, jnp.full((bs, 1, 1), cur - 1), axis=1)[:, 0]
+            out.logits, jnp.full((bs, 1, 1), cur - 1), axis=1)[:, 0].astype(cdt)
         rng, key = jax.random.split(rng)
         nxt = _sample_step(model, ids_buf, cur, last, key, temperature,
                            top_k, nucleus_p, approx_top_k)

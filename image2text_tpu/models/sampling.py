@@ -128,6 +128,13 @@ def gathered_top_k(logits: jax.Array, k: int,
     tie-breaks at equal values may differ from ``lax.top_k``'s
     lowest-index rule (same caveat as the chunked formulation).
 
+    Runs in the logits' own dtype end to end: every term is a gather or a
+    max of existing values, so a bf16 input gives the exact same selection
+    a pre-upcast f32 run would (f32(x) of a bf16 x is exact, comparisons
+    and ties are identical) at HALF the full-vocab HBM traffic — the
+    (B, V) passes dominate the decode-loop sampler at serving batch
+    (PROBE_TOPK.jsonl).
+
     Returns (values, indices), both (..., k), values descending.
     """
     v = logits.shape[-1]
@@ -160,12 +167,16 @@ def gathered_top_k(logits: jax.Array, k: int,
         # multi-pass decomposition reconstructs the full mantissa and is
         # bitwise equal to the dynamic gather (asserted on-chip and by
         # tests/test_generation.py::test_gathered_top_k_exact)
-        fmin = jnp.float32(-1e38)
+        # dtype-matched clamp (a f32 scalar would promote a bf16 row to
+        # f32, re-doubling the pass this formulation exists to halve);
+        # -1e38 is finite in bf16 (max finite ~3.39e38)
+        fmin = jnp.asarray(-1e38, blocks.dtype)
         oh = jax.nn.one_hot(bidx, c, dtype=blocks.dtype)       # (..., k, C)
         gathered = jnp.einsum("...kc,...cw->...kw", oh,
                               jnp.maximum(blocks, fmin),
                               precision=jax.lax.Precision.HIGHEST)
-        gathered = jnp.where(gathered <= fmin, NEG_INF, gathered)
+        gathered = jnp.where(gathered <= fmin,
+                             jnp.asarray(NEG_INF, gathered.dtype), gathered)
     else:
         gathered = jnp.take_along_axis(blocks, bidx[..., None], axis=-2)
     vals, gi = jax.lax.top_k(gathered.reshape(*lead, k * chunk), k)
@@ -294,12 +305,14 @@ def sample_logits(logits: jax.Array, rng: jax.Array, temperature: float = 1.0,
     batch 128, PROBE_TOPK.jsonl).  Borderline tail tokens of the top-k
     may be swapped for near-ties; the argmax (greedy) token is always
     exact by construction of the reduction."""
-    logits = logits.astype(jnp.float32) / temperature
     if top_k is not None and nucleus_p is None and approx:
+        # full-vocab pull in the logits' own dtype (pure selection); the
+        # k-wide head upcasts for the temperature/softmax math
         k = min(top_k, logits.shape[-1])
         vals, idx = jax.lax.approx_max_k(logits, k, recall_target=0.95,
                                          aggregate_to_topk=True)
-        choice = jax.random.categorical(rng, vals, axis=-1)
+        choice = jax.random.categorical(
+            rng, vals.astype(jnp.float32) / temperature, axis=-1)
         return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
     if top_k is not None and nucleus_p is None:
         # top-k-only fast path: sample among the k winners directly —
@@ -309,11 +322,14 @@ def sample_logits(logits: jax.Array, rng: jax.Array, temperature: float = 1.0,
         # Semantics differ from the reference's threshold mask
         # (vision_encoder_decoder.py:155-157) only on EXACT float ties at
         # the kth value (the mask keeps all tied tokens, top-k keeps
-        # exactly k) — measure-zero for continuous logits.
+        # exactly k) — measure-zero for continuous logits.  The pull
+        # runs in the logits' own dtype; see sample_topk_with_ngram.
         k = min(top_k, logits.shape[-1])
         vals, idx = chunked_top_k(logits, k)
-        choice = jax.random.categorical(rng, vals, axis=-1)
+        choice = jax.random.categorical(
+            rng, vals.astype(jnp.float32) / temperature, axis=-1)
         return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
+    logits = logits.astype(jnp.float32) / temperature
     # apply_top_k masks via the chunked kth-value threshold: no full-vocab
     # sort (the round-1 serving bottleneck), and ties at the kth value stay
     # IN the distribution — exactly the reference's `logits < v[:, [-1]]`
@@ -351,8 +367,13 @@ def sample_topk_with_ngram(logits: jax.Array, ids_buf: jax.Array,
     exact sort at serving batch — PROBE_TOPK.jsonl); the ban containment
     gate and its fallback still apply, so bans are never dropped — only
     borderline tail membership of the top-k is approximate.
+
+    The full-vocab head pull runs in the logits' OWN dtype (selection of
+    existing values — a bf16 input selects exactly what a pre-upcast f32
+    run would, see :func:`gathered_top_k`); only the gathered k-wide
+    head is upcast to f32 for the temperature/softmax math, which is
+    then bit-identical to the old upcast-first pipeline.
     """
-    logits = logits.astype(jnp.float32)
     cand, ban = _ngram_bans(ids_buf, cur_len, ngram_sizes)
     greedy = temperature is None or temperature <= 0
     approx = approx and not greedy  # greedy stays deterministic-exact
@@ -378,14 +399,15 @@ def sample_topk_with_ngram(logits: jax.Array, ids_buf: jax.Array,
             vals, idx = chunked_top_k(logits, kk, chunk=max(2048, kk))
         hit = jnp.any(idx[..., :, None] == banned_id[..., None, :], axis=-1)
         ok = jnp.all(jnp.sum(hit, axis=-1) <= kk - k)
-        vals = jnp.where(hit, NEG_INF, vals)
+        vals = jnp.where(hit, jnp.asarray(NEG_INF, vals.dtype), vals)
         if greedy:
             out = jnp.take_along_axis(
                 idx, jnp.argmax(vals, axis=-1)[..., None], axis=-1)[..., 0]
             return ok, out
         tv, sel = jax.lax.top_k(vals, k)
         ti = jnp.take_along_axis(idx, sel, axis=-1)
-        choice = jax.random.categorical(rng, tv / temperature, axis=-1)
+        choice = jax.random.categorical(
+            rng, tv.astype(jnp.float32) / temperature, axis=-1)
         return ok, jnp.take_along_axis(ti, choice[..., None], axis=-1)[..., 0]
 
     kk_full = min(k + m, v)
