@@ -192,6 +192,16 @@ def fused_moe_mlp_compatible(mlp, p, x,
         return None
     if not interpret and jax.default_backend() != "tpu":
         return None
+    # Decision-grade dispatch threshold (PROBE_MOE.jsonl, healthy 187
+    # TFLOP/s window, flagship dims): the kernel wins only at large row
+    # counts — encoder stream b256·t160 = 40960 rows: 1.44 vs 1.56 ms
+    # XLA — and LOSES on decode-step rows (256 rows: 16 vs 10 µs; 1024:
+    # 50 vs 31 µs), where launch overhead and the narrow low-rank
+    # matmuls (K/N = e·r = 64, half-empty MXU tiles) dominate and XLA
+    # overlaps them with the surrounding ops.  Route small row counts
+    # to the XLA composition.
+    if not interpret and x.size // x.shape[-1] < 4096:
+        return None
     dt = x.dtype
     e, r = pf["l1_weight"].shape[0], pf["l1_weight"].shape[1]
     rep = jnp.asarray(np.kron(np.eye(e), np.ones((1, r))), dt)

@@ -1,0 +1,65 @@
+"""bf16-vs-f32 timing for the fused ngram-ban + top-k sampler.
+
+Measures ``sampling.sample_topk_with_ngram`` (the serving decode loop's
+per-step sampler, top_k 16, ngrams 2-5, id buffer 33) on logits in f32
+vs bf16 — the dtype-preserving sampler rework keeps every full-vocab
+pass in the logits' storage dtype.  Slope-timed on-device fori_loops,
+calibration-bracketed.  Appends one JSON line to PROBE_SAMPLER.jsonl.
+
+Usage: python tools/sampler_probe.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+
+sys.path.insert(0, ".")
+
+from image2text_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache("jaxcache-decode")
+import jax.numpy as jnp
+
+from bench_kernels import device_loop_ms, quick_calib
+from image2text_tpu.models.sampling import sample_topk_with_ngram
+
+V = 50258
+L = 33
+NGRAMS = (2, 3, 4, 5)
+
+
+def main():
+    out = {"calib_before_tflops": round(quick_calib(), 1)}
+    for b in (256, 1024):
+        ids0 = jax.random.randint(jax.random.PRNGKey(0), (b, L), 1, V,
+                                  jnp.int32)
+        for dt, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+            logits0 = jax.random.normal(jax.random.PRNGKey(1), (b, V), dt)
+
+            def body(i, c):
+                logits, ids = c
+                nxt = sample_topk_with_ngram(
+                    logits, ids, jnp.asarray(L - 1),
+                    NGRAMS, jax.random.fold_in(jax.random.PRNGKey(2), i),
+                    0.7, 16)
+                ids = jax.lax.dynamic_update_slice(ids, nxt[:, None],
+                                                   (0, L - 1))
+                # column-0 perturbation: next iteration's logits depend on
+                # this sample (no hoist) at negligible extra traffic
+                logits = logits.at[:, 0].add(
+                    (nxt % 3).astype(dt) * jnp.asarray(1e-3, dt))
+                return logits, ids
+
+            out[f"b{b}_{tag}_ms"] = round(
+                device_loop_ms(body, (logits0, ids0)), 4)
+    out["calib_after_tflops"] = round(quick_calib(), 1)
+    out["device_kind"] = getattr(jax.devices()[0], "device_kind", "?")
+    print(json.dumps(out), flush=True)
+    with open("PROBE_SAMPLER.jsonl", "a") as f:
+        f.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()
