@@ -294,15 +294,22 @@ class SelfAttention(Module):
 
 def _token_dropout(shape, rate: float, ctx: Ctx):
     """The reference's 'attention dropout': dropout masks over per-token ones
-    multiplied into q/k/v (layers.py:454-461). Returns 3 masks and the ctx."""
+    multiplied into q/k/v (layers.py:454-461). Returns 3 masks and the ctx;
+    eval masks are ``None`` — the identity multiply is skipped entirely
+    rather than trusting XLA to fold a materialised ones tensor out of
+    three full q/k/v passes per attention call."""
     if not ctx.train or rate <= 0.0:
-        one = jnp.ones(shape, jnp.float32)
-        return one, one, one, ctx
+        return None, None, None, ctx
     ones = jnp.ones(shape, jnp.float32)
     k_do, ctx = dropout(ones, rate, ctx)
     q_do, ctx = dropout(ones, rate, ctx)
     v_do, ctx = dropout(ones, rate, ctx)
     return k_do, q_do, v_do, ctx
+
+
+def _mask_mul(m, z, dt):
+    """z · m in the storage dtype, identity when m is None (eval)."""
+    return z if m is None else m.astype(dt) * z
 
 
 class MultiHeadAttention(SelfAttention):
@@ -334,9 +341,9 @@ class MultiHeadAttention(SelfAttention):
         k_do, q_do, v_do, ctx = _token_dropout((b, 1, t, 1), self.attn_dropout, ctx)
         def heads(z):
             return z.reshape(b, t, self.n_head, hd).transpose(0, 2, 1, 3)
-        q = q_do.astype(x.dtype) * heads(q)
-        k = k_do.astype(x.dtype) * heads(k)
-        v = v_do.astype(x.dtype) * heads(v)
+        q = _mask_mul(q_do, heads(q), x.dtype)
+        k = _mask_mul(k_do, heads(k), x.dtype)
+        v = _mask_mul(v_do, heads(v), x.dtype)
 
         if kv_cache is not None:
             k, v, mask = kv_cache.update(k, v, mask, write=cache_write)
@@ -379,9 +386,10 @@ class MultiQueryAttention(SelfAttention):
         k, v = jnp.split(kv, 2, axis=-1)
 
         k_do, q_do, v_do, ctx = _token_dropout((b, 1, t, 1), self.attn_dropout, ctx)
-        q = q_do.astype(x.dtype) * q.reshape(b, t, self.n_head, hd).transpose(0, 2, 1, 3)
-        k = k_do.astype(x.dtype) * k.reshape(b, t, 1, hd).transpose(0, 2, 1, 3)
-        v = v_do.astype(x.dtype) * v.reshape(b, t, 1, hd).transpose(0, 2, 1, 3)
+        q = _mask_mul(q_do, q.reshape(b, t, self.n_head, hd).transpose(0, 2, 1, 3),
+                      x.dtype)
+        k = _mask_mul(k_do, k.reshape(b, t, 1, hd).transpose(0, 2, 1, 3), x.dtype)
+        v = _mask_mul(v_do, v.reshape(b, t, 1, hd).transpose(0, 2, 1, 3), x.dtype)
 
         if kv_cache is not None:
             k, v, mask = kv_cache.update(k, v, mask, write=cache_write)
