@@ -50,7 +50,14 @@ from bench import analytic_flops_per_caption, chip_peak_flops
 
 SEQ_LEN = 256  # the data pipeline's padded caption length (training/data.py)
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
-BATCHES = (4, 8) if SMOKE else (16, 48, 96, 128, 192)
+# BENCH_TRAIN_REMAT=dots|none: remat_policy override for the A/B row the
+# round-3 verdict asked for (boolean remat OOMs at batch 192;
+# jax.checkpoint_dots saves only matmul outputs instead of everything)
+REMAT_POLICY = os.environ.get("BENCH_TRAIN_REMAT") or None
+_B = os.environ.get("BENCH_TRAIN_BATCHES")
+BATCHES = ((4, 8) if SMOKE else
+           tuple(int(x) for x in _B.split(",")) if _B else
+           (16, 48, 96, 128, 192))
 
 
 def _build():
@@ -72,6 +79,11 @@ def _build():
                         vocab_size=vocab)
     wrapper = ModelTrainerWrapper(cfg.model, tok, cfg.trainer,
                                   ignore_index=cfg.ignore_index)
+    if REMAT_POLICY:
+        from image2text_tpu.training.remat import set_remat_policy
+
+        set_remat_policy(wrapper.model,
+                         None if REMAT_POLICY == "none" else REMAT_POLICY)
     params = wrapper.init(jax.random.PRNGKey(0))
     tx, _, _ = build_optimizer(wrapper, params, cfg.optimizers,
                                use_snr=cfg.use_snr_optim)
@@ -254,6 +266,7 @@ def main():
         "flash_speedup": (round(step_ms_noflash / step_ms, 2)
                           if step_ms_noflash else None),
         "steps_per_sec": round(steps_per_sec, 2),
+        "remat_policy": REMAT_POLICY or "boolean",
         "batch": best,
         "seq_len": int(labels.shape[1]),
         "final_train_loss_lm": round(loss, 4),

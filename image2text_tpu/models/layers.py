@@ -547,18 +547,35 @@ class TransformerBlock(Module):
         # CacheRef.update, which sees the true key length; otherwise the
         # causal intent flows to sdpa as a flag (in-kernel mask for flash)
         causal = self.is_causal and kv_cache is None
-        x = x + self.attn(p["attn"], self.ln_1(p["ln_1"], x), mask=attn_mask,
-                          ctx=ctx.fold(1), use_flash=use_flash,
-                          kv_cache=kv_cache, causal=causal)
-        if cross_attn_inputs is not None or cross_kv is not None:
-            if not self.is_cross_attn:
-                raise ValueError("Model not configured for cross attn inputs!!!")
-            x = x + self.cross_attn(p["cross_attn"],
-                                    self.ln_3(p["ln_3"], x),
-                                    cross_attn_inputs, cross_attn_inputs,
-                                    ctx=ctx.fold(2), precomputed_kv=cross_kv)
-        x = x + self.mlp(p["mlp"], self.ln_2(p["ln_2"], x), ctx=ctx.fold(3))
-        x = normalize_gradients(x)
+        fused = None
+        if (use_flash and not ctx.train and kv_cache is None
+                and attn_mask is None and cross_attn_inputs is None
+                and cross_kv is None and not causal):
+            # (use_flash doubles as the kernel escape hatch: the
+            # disable_flash parity mode must run the pure XLA block)
+            # serving path: the whole block residual chain in ONE Pallas
+            # kernel (ops/fused_block.py) — intermediates (ln outs,
+            # projections, scores, FFN hidden) never touch HBM.
+            # normalize_gradients is identity at eval; dispatch declines
+            # (None) for configs outside the kernel's scope.
+            from image2text_tpu.ops.fused_block import fused_block_compatible
+
+            fused = fused_block_compatible(self, p, x)
+        if fused is not None:
+            x = fused
+        else:
+            x = x + self.attn(p["attn"], self.ln_1(p["ln_1"], x), mask=attn_mask,
+                              ctx=ctx.fold(1), use_flash=use_flash,
+                              kv_cache=kv_cache, causal=causal)
+            if cross_attn_inputs is not None or cross_kv is not None:
+                if not self.is_cross_attn:
+                    raise ValueError("Model not configured for cross attn inputs!!!")
+                x = x + self.cross_attn(p["cross_attn"],
+                                        self.ln_3(p["ln_3"], x),
+                                        cross_attn_inputs, cross_attn_inputs,
+                                        ctx=ctx.fold(2), precomputed_kv=cross_kv)
+            x = x + self.mlp(p["mlp"], self.ln_2(p["ln_2"], x), ctx=ctx.fold(3))
+            x = normalize_gradients(x)
         if not self.is_sparse:
             out = sp_constrain(self, x, ctx, kv_cache)
             return (out, None) if want_lazy else out

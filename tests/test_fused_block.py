@@ -1,0 +1,69 @@
+"""Fused sparse-block Pallas kernel vs the XLA block composition.
+
+The kernel (ops/fused_block.py) must reproduce the eval TransformerBlock
+residual chain — LayerNorm(f32 stats) → MQA with storage-dtype score
+materialisation → LayerNorm → MoE FFN — to accumulation-order rounding.
+Interpret mode on CPU.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image2text_tpu.configs.models import (MoEConfig, SelfAttentionConfig,
+                                           SelfAttentionType,
+                                           TransformerConfig)
+from image2text_tpu.models.layers import TransformerBlock
+from image2text_tpu.nn.core import Ctx
+from image2text_tpu.ops.fused_block import fused_block_compatible
+
+
+def _mk(bias):
+    cfg = TransformerConfig(
+        is_causal=False, is_cross_attn=False, is_sparse_attn=False,
+        attn_config=SelfAttentionConfig(
+            attn_dropout=0.1, bias=bias, dropout=0.1, n_head=2, n_embd=256,
+            attn_type=SelfAttentionType.MULTI_QUERY),
+        rotator_config=MoEConfig(num_experts=4, proj_features=16,
+                                 gate_sizes=[32], ff_mult_factor=2.0,
+                                 top_k=2))
+    blk = TransformerBlock(cfg, seed=None, n_cls=0)
+    params = blk.init(jax.random.PRNGKey(0))
+    return blk, params
+
+
+@pytest.mark.parametrize("bias", [True, False])
+def test_fused_block_matches_xla(bias):
+    blk, params = _mk(bias)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, 16, 256),
+                                jnp.float32)
+    ref = blk(params, x, ctx=Ctx(train=False), use_flash=False)
+    out = fused_block_compatible(blk, params, x, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_fused_block_bf16_close():
+    blk, params = _mk(False)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (4, 16, 256),
+                                jnp.bfloat16)
+    ref = blk(params, x, ctx=Ctx(train=False), use_flash=False)
+    out = fused_block_compatible(blk, params, x, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.06, atol=0.06)
+
+
+def test_dispatch_declines_out_of_scope():
+    blk, params = _mk(False)
+    x = jnp.zeros((8, 16, 256), jnp.float16)
+    assert fused_block_compatible(blk, params, x, interpret=True) is None
+    # sublane-ragged sequence length
+    x = jnp.zeros((8, 13, 256), jnp.float32)
+    assert fused_block_compatible(blk, params, x, interpret=True) is None

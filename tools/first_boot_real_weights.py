@@ -22,7 +22,9 @@ and the rest continue; the exit code is non-zero only on a real FAILURE):
    models/decoder.py:285-440).
 4. **caption** — build the gpt2 captioner composite, generate one caption
    from a real or random image through the full serving path.
-5. **bleu** — if ``--dataset_dir`` points at a local Flickr-style folder
+5. **train** — a short REAL-DATA fine-tune through ``trainer.py`` (the
+   reference's run story, README.md:17-25); its checkpoint feeds stage 6.
+6. **bleu** — if ``--dataset_dir`` points at a local Flickr-style folder
    (images + captions.json, see ``get_local_dataloader``) or Deep Lake is
    reachable, compute BLEU-4 over ``--rows`` rows with the 5-reference
    protocol (reference notebooks/test-model-performance.ipynb).  With
@@ -167,11 +169,9 @@ def stage_caption(args, state):
     return f"full serving path produced a caption: {text!r}"
 
 
-@_stage("bleu")
-def stage_bleu(args, state):
-    import subprocess
-    import tempfile
-
+def _real_data_cfg(args):
+    """gpt2.yaml pointed at the real dataset (local folder or the
+    config's default Deep Lake stream)."""
     import yaml
 
     with open("training_configs/local/gpt2.yaml") as f:
@@ -181,12 +181,57 @@ def stage_bleu(args, state):
         cfg["dataset_dir"] = args.dataset_dir
     # else: flickr30k Deep Lake streaming (needs hub access) — the
     # config's default dataset
+    return cfg
+
+
+def _dump_cfg(cfg):
+    import tempfile
+
+    import yaml
+
     with tempfile.NamedTemporaryFile("w", suffix=".yaml",
                                      delete=False) as tf:
         yaml.safe_dump(cfg, tf)
-        cfg_path = tf.name
+        return tf.name
+
+
+@_stage("train")
+def stage_train(args, state):
+    """Short REAL-DATA fine-tune through trainer.py (reference
+    README.md:17-25 run story): streams the live dataset, runs
+    ``--train_steps`` optimizer steps on the gpt2 captioner, saves the
+    pattern-filtered checkpoint that the bleu stage then evaluates."""
+    import subprocess
+    import tempfile
+
+    cfg = _real_data_cfg(args)
+    cfg["num_steps"] = args.train_steps
+    cfg["num_val_steps"] = 2
+    cfg["epochs"] = 1
+    cfg["max_loop_epochs"] = 1
+    cfg_path = _dump_cfg(cfg)
+    ck = tempfile.mktemp(suffix=".npz")
+    cmd = [sys.executable, "trainer.py", "--config_file", cfg_path,
+           "--chkpt_file", ck]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    assert out.returncode == 0, out.stderr[-2000:]
+    state["chkpt"] = ck
+    tail = [l for l in out.stdout.strip().splitlines() if "loss" in l][-1:]
+    return (f"{args.train_steps} real-data steps done; "
+            f"{tail[0] if tail else 'checkpoint saved'}")
+
+
+@_stage("bleu")
+def stage_bleu(args, state):
+    import subprocess
+
+    cfg_path = _dump_cfg(_real_data_cfg(args))
     cmd = [sys.executable, "evaluate.py", "--config_file", cfg_path,
            "--num_images", str(args.rows)]
+    if state.get("chkpt"):
+        # evaluate the stage_train checkpoint: BLEU/CIDEr of an actually
+        # fine-tuned model, not random heads
+        cmd += ["--chkpt_file", state["chkpt"]]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     assert out.returncode == 0, out.stderr[-2000:]
     return out.stdout.strip().splitlines()[-1]
@@ -197,12 +242,14 @@ def main():
     ap.add_argument("--dataset_dir", default=None,
                     help="local Flickr-style folder for the BLEU stage")
     ap.add_argument("--rows", type=int, default=20)
+    ap.add_argument("--train_steps", type=int, default=50,
+                    help="real-data fine-tune steps for the train stage")
     ap.add_argument("--stages", default=None,
                     help="comma-separated subset (default: all)")
     args = ap.parse_args()
 
     stages = [stage_gpt2, stage_swag_vit, stage_hf_family, stage_caption,
-              stage_bleu]
+              stage_train, stage_bleu]
     if args.stages:
         keep = set(args.stages.split(","))
         stages = [s for s in stages if s._stage_name in keep]
