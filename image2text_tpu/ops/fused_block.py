@@ -185,9 +185,17 @@ def fused_block_compatible(block, p, x,
     b, t, _ = x.shape
     if t % 8:
         return None
-    # VMEM budget: at the flagship shape (t=160, d=1024, hidden 2048)
-    # a 4-image tile holds ~8 MB of stream + FFN hidden + weights
-    b_tile = 4 if t * d >= 64 * 1024 else 8
+    # VMEM budget: resident weights are ~6 MB bf16 (Wq/Wo 2 MB each +
+    # FFN stack) and the gridded stream blocks double-buffer — at the
+    # flagship shape (t=160, d=1024, hidden 2048) a 4-image tile
+    # measured 20.5 MB scoped VMEM (> the 16 MB core limit); 2 images
+    # fit.  Small shapes take bigger tiles to amortise launch overhead.
+    if t * d >= 48 * 1024:
+        b_tile = 2
+    elif t * d >= 16 * 1024:
+        b_tile = 4
+    else:
+        b_tile = 8
     while b_tile > 1 and b % b_tile:
         b_tile //= 2
     if b % b_tile:

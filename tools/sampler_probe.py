@@ -54,6 +54,50 @@ def main():
 
             out[f"b{b}_{tag}_ms"] = round(
                 device_loop_ms(body, (logits0, ids0)), 4)
+    # ---- stage decomposition of gathered_top_k at the serving shape ----
+    # (bf16, k=48, chunk 128): which term actually dominates the 4.6 ms
+    # at batch 1024 — the full-vocab passes or the sort machinery?
+    k, chunk = 48, 128
+    for b in (256, 1024):
+        logits = jax.random.normal(jax.random.PRNGKey(3), (b, V),
+                                   jnp.bfloat16)
+        c = -(-V // chunk)
+        pad = c * chunk - V
+        blocks0 = jnp.pad(logits, ((0, 0), (0, pad)),
+                          constant_values=-jnp.inf).reshape(b, c, chunk)
+
+        def chain(fn):
+            """Stage body whose FULL output feeds the next iteration's
+            input (sum over trailing dims — no DCE slicing, no hoist)."""
+            def body(i, carry):
+                (x,) = carry
+                y = fn(x)
+                # clamp: gathered rows can carry the -inf vocab padding,
+                # which would poison the sum-chained carry
+                y = jnp.maximum(y, jnp.asarray(-1e4, y.dtype))
+                s = jnp.sum(y, axis=tuple(range(1, y.ndim)), keepdims=False)
+                s = s.reshape(b, *([1] * (x.ndim - 1)))
+                return (x + s.astype(x.dtype) * jnp.asarray(1e-6, x.dtype),)
+            return body
+
+        maxes0 = jnp.max(blocks0, axis=-1)
+        _, bidx0 = jax.lax.top_k(maxes0, k)
+        oh0 = jax.nn.one_hot(bidx0, c, dtype=blocks0.dtype)
+        gath0 = jnp.einsum("...kc,...cw->...kw", oh0, blocks0).reshape(
+            b, k * chunk)
+
+        out[f"b{b}_stage_max_ms"] = round(device_loop_ms(
+            chain(lambda x: jnp.max(x.reshape(b, c, chunk), axis=-1)),
+            (blocks0.reshape(b, -1),)), 4)
+        out[f"b{b}_stage_topk_blocks_ms"] = round(device_loop_ms(
+            chain(lambda x: jax.lax.top_k(x, k)[0]), (maxes0,)), 4)
+        out[f"b{b}_stage_gather_ms"] = round(device_loop_ms(
+            chain(lambda x: jnp.einsum("...kc,...cw->...kw", oh0,
+                                       x.reshape(b, c, chunk))),
+            (blocks0.reshape(b, -1),)), 4)
+        out[f"b{b}_stage_topk_final_ms"] = round(device_loop_ms(
+            chain(lambda x: jax.lax.top_k(x, k)[0]), (gath0,)), 4)
+
     out["calib_after_tflops"] = round(quick_calib(), 1)
     out["device_kind"] = getattr(jax.devices()[0], "device_kind", "?")
     print(json.dumps(out), flush=True)
