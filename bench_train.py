@@ -243,7 +243,10 @@ def main():
             f"{name} {v:.2f} >= 1: implied FLOP/s exceeds the chip peak — "
             "the timing fence is broken; do not publish this number")
     lo, hi = min(per_batch), max(per_batch)
-    if not SMOKE and per_batch[hi] < 1.5 * per_batch[lo]:
+    # the fence sanity needs two surviving batch points (a remat-policy
+    # sweep can OOM every batch but the smallest — lo == hi is then
+    # vacuous, not evidence of a broken fence)
+    if not SMOKE and hi > lo and per_batch[hi] < 1.5 * per_batch[lo]:
         raise AssertionError(
             f"batch-{hi} step ({per_batch[hi]:.2f} ms) is not >=1.5x "
             f"batch-{lo} step ({per_batch[lo]:.2f} ms): flat scaling across "

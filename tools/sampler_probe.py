@@ -98,6 +98,25 @@ def main():
         out[f"b{b}_stage_topk_final_ms"] = round(device_loop_ms(
             chain(lambda x: jax.lax.top_k(x, k)[0]), (gath0,)), 4)
 
+    # ---- post-two-level decomposition: where do the remaining ms go? ----
+    # pick-only (gathered_top_k at the serving pull width) vs the full
+    # sample_topk_with_ngram — the difference is ngram machinery + the
+    # lax.cond fallback scaffolding (whose untaken branch still carries
+    # the full logits operand)
+    from image2text_tpu.models.sampling import gathered_top_k
+
+    for b in (256, 1024):
+        logits = jax.random.normal(jax.random.PRNGKey(4), (b, V),
+                                   jnp.bfloat16)
+
+        def body_pick(i, c):
+            (x,) = c
+            vals, idx = gathered_top_k(x, 32)
+            s = jnp.sum(vals.astype(jnp.float32), axis=-1)
+            return (x + s[:, None].astype(x.dtype) * 1e-6,)
+
+        out[f"b{b}_pick32_only_ms"] = round(
+            device_loop_ms(body_pick, (logits,)), 4)
     out["calib_after_tflops"] = round(quick_calib(), 1)
     out["device_kind"] = getattr(jax.devices()[0], "device_kind", "?")
     print(json.dumps(out), flush=True)
