@@ -179,20 +179,24 @@ def gathered_top_k(logits: jax.Array, k: int,
                              jnp.asarray(NEG_INF, gathered.dtype), gathered)
     else:
         gathered = jnp.take_along_axis(blocks, bidx[..., None], axis=-2)
-    # Two-level final selection: the overall top-k is trivially contained
-    # in the union of per-block top-k's, so sort k chunk-wide rows then a
-    # (k·k)-wide row instead of one (k·chunk)-wide row — the single wide
-    # lax.top_k was 73% of the whole sampler at serving batch
-    # (PROBE_SAMPLER.jsonl: 3.38 of 4.63 ms at batch 1024, k=48,
-    # chunk=128).  Values exact; index tie-breaks as above.
-    v1, i1 = jax.lax.top_k(gathered, min(k, chunk))     # (..., k, k')
-    kk = v1.shape[-1]
-    vals, gi = jax.lax.top_k(v1.reshape(*lead, k * kk), k)
-    row = gi // kk                                       # which block row
-    within = jnp.take_along_axis(
-        i1.reshape(*lead, k * kk), gi, axis=-1)          # offset in chunk
-    sel_block = jnp.take_along_axis(bidx, row, axis=-1)
-    return vals, sel_block * chunk + within
+    # Final selection over the (k·chunk)-wide gathered buffer.  The
+    # single wide lax.top_k was 73% of the whole sampler at serving
+    # batch (PROBE_SAMPLER.jsonl: 3.38 of 4.63 ms at batch 1024), and
+    # the batched per-block form lax.top_k((b, k, chunk), k) lowered
+    # even worse per element (2.62 ms for 4096 elements/row) — so wide
+    # buffers RECURSE through this same threshold-gather with a narrower
+    # chunk: every stage is then a cheap max pass, a narrow top-k and a
+    # small MXU one-hot gather, bottoming out in a (k·32)-wide sort
+    # (0.23 ms at batch 1024).  Values exact (same containment
+    # argument); index tie-breaks as above.
+    flat = gathered.reshape(*lead, k * chunk)
+    if k * chunk > 2048 and chunk > 32:
+        vals, fi = gathered_top_k(flat, k, chunk=32,
+                                  onehot_gather=onehot_gather)
+    else:
+        vals, fi = jax.lax.top_k(flat, k)
+    sel_block = jnp.take_along_axis(bidx, fi // chunk, axis=-1)
+    return vals, sel_block * chunk + fi % chunk
 
 
 def chunked_top_k(logits: jax.Array, k: int,

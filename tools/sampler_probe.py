@@ -117,6 +117,36 @@ def main():
 
         out[f"b{b}_pick32_only_ms"] = round(
             device_loop_ms(body_pick, (logits,)), 4)
+
+        # sub-ops of the two-level gathered_top_k (k=32, chunk=128)
+        kk = 32
+        c2 = -(-V // 128)
+        blk = jnp.pad(logits, ((0, 0), (0, c2 * 128 - V)),
+                      constant_values=-jnp.inf).reshape(b, c2, 128)
+        _, bi = jax.lax.top_k(jnp.max(blk, axis=-1), kk)
+        oh2 = jax.nn.one_hot(bi, c2, dtype=blk.dtype)
+        gath2 = jnp.einsum("...kc,...cw->...kw", oh2,
+                           jnp.maximum(blk, jnp.asarray(-1e38, blk.dtype)))
+        v1_, i1_ = jax.lax.top_k(gath2, kk)
+        v1f = v1_.reshape(b, kk * kk)
+        _, gi_ = jax.lax.top_k(v1f, kk)
+
+        def chain2(fn, x0):
+            def body(i, carry):
+                (x,) = carry
+                y = fn(x)
+                y = jnp.maximum(y.astype(jnp.float32), -1e4)
+                s = jnp.sum(y, axis=tuple(range(1, y.ndim)))
+                s = s.reshape(b, *([1] * (x.ndim - 1)))
+                return (x + s.astype(x.dtype) * jnp.asarray(1e-6, x.dtype),)
+            return device_loop_ms(body, (x0,))
+
+        out[f"b{b}_sub_topk3d_ms"] = round(
+            chain2(lambda x: jax.lax.top_k(x, kk)[0], gath2), 4)
+        out[f"b{b}_sub_topk_flat_ms"] = round(
+            chain2(lambda x: jax.lax.top_k(x, kk)[0], v1f), 4)
+        out[f"b{b}_sub_taa_ms"] = round(
+            chain2(lambda x: jnp.take_along_axis(x, gi_, axis=-1), v1f), 4)
     out["calib_after_tflops"] = round(quick_calib(), 1)
     out["device_kind"] = getattr(jax.devices()[0], "device_kind", "?")
     print(json.dumps(out), flush=True)
