@@ -160,7 +160,13 @@ def fused_block_compatible(block, p, x,
         return None
     if x.dtype not in (jnp.bfloat16, jnp.float32):
         return None
-    if not interpret and jax.default_backend() != "tpu":
+    if not interpret and (jax.default_backend() != "tpu"
+                          or x.dtype != jnp.bfloat16):
+        # bf16-serving only on real hardware: an f32 run (e.g. the
+        # driver's entry() compile check) doubles every VMEM tile and
+        # weight and can blow the scoped-vmem budget the bf16 tiling was
+        # sized for; f32 eval stays on the XLA composition (interpret
+        # mode still accepts f32 for the CPU parity tests)
         return None
     d = block.attn.n_embd
     n_head = block.attn.n_head

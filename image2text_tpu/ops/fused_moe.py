@@ -190,7 +190,11 @@ def fused_moe_mlp_compatible(mlp, p, x,
         return None
     if x.dtype not in (jnp.bfloat16, jnp.float32):
         return None
-    if not interpret and jax.default_backend() != "tpu":
+    if not interpret and (jax.default_backend() != "tpu"
+                          or x.dtype != jnp.bfloat16):
+        # bf16-serving only on real hardware (see fused_block: f32
+        # doubles the VMEM tiling the kernel was sized for); interpret
+        # mode still accepts f32 for the CPU parity tests
         return None
     # Decision-grade dispatch threshold (PROBE_MOE.jsonl, healthy 187
     # TFLOP/s window, flagship dims): the kernel wins only at large row
