@@ -70,7 +70,11 @@ def _block_kernel(x_ref,
     d = fin
     hd = d // n_head
     scale = 1.0 / math.sqrt(hd)
-    x1_rows = []
+    rep = rep_ref[...]
+    # fully per-image pipeline (attention AND FFN): peak live VMEM is one
+    # image's temporaries instead of the whole tile's hidden-wide FFN
+    # activation, which lets a 4-image tile fit the scoped-vmem budget
+    # (numerics unchanged — LN and the FFN are row-wise)
     for i in range(b_tile):
         xi = x_ref[i]                                        # (t, d)
         xn = _ln(xi, ln1w, ln1b)
@@ -94,21 +98,16 @@ def _block_kernel(x_ref,
                 preferred_element_type=jnp.float32).astype(dt))
         o = jnp.concatenate(heads, axis=-1)                  # (t, d)
         y = _dot(o, wo[...], dt) + bo[...]
-        x1_rows.append(xi + y)
-    x1 = jnp.concatenate(x1_rows, axis=0)                    # (b_tile*t, d)
-    xn2 = _ln(x1, ln2w, ln2b)
-    rep = rep_ref[...]
-    h1 = _moe_linear_tile(xn2, g0w1[...], g0b1[...], g1w1[...], g1b1[...],
-                          l1w1[...], l1b1[...], l2w1[...], l2b1[...], rep,
-                          k=k_top, fin=fin, dt=dt)
-    h1 = gelu_tanh(h1)
-    ffn = _moe_linear_tile(h1, g0w2[...], g0b2[...], g1w2[...], g1b2[...],
-                           l1w2[...], l1b2[...], l2w2[...], l2b2[...], rep,
-                           k=k_top, fin=hidden, dt=dt)
-    out = x1 + ffn
-    t = x_ref.shape[1]
-    for i in range(b_tile):
-        o_ref[i] = out[i * t:(i + 1) * t]
+        x1 = xi + y
+        xn2 = _ln(x1, ln2w, ln2b)
+        h1 = _moe_linear_tile(xn2, g0w1[...], g0b1[...], g1w1[...],
+                              g1b1[...], l1w1[...], l1b1[...], l2w1[...],
+                              l2b1[...], rep, k=k_top, fin=fin, dt=dt)
+        h1 = gelu_tanh(h1)
+        ffn = _moe_linear_tile(h1, g0w2[...], g0b2[...], g1w2[...],
+                               g1b2[...], l1w2[...], l1b2[...], l2w2[...],
+                               l2b2[...], rep, k=k_top, fin=hidden, dt=dt)
+        o_ref[i] = x1 + ffn
 
 
 def _zeros_b(n, dt):
@@ -192,12 +191,14 @@ def fused_block_compatible(block, p, x,
     if t % 8:
         return None
     # VMEM budget: resident weights are ~6 MB bf16 (Wq/Wo 2 MB each +
-    # FFN stack) and the gridded stream blocks double-buffer — at the
-    # flagship shape (t=160, d=1024, hidden 2048) a 4-image tile
-    # measured 20.5 MB scoped VMEM (> the 16 MB core limit); 2 images
-    # fit.  Small shapes take bigger tiles to amortise launch overhead.
+    # FFN stack), the gridded stream blocks double-buffer, and the
+    # kernel's per-image pipeline keeps only one image's FFN hidden
+    # live — a 4-image tile fits at the flagship shape (t=160, d=1024,
+    # hidden 2048; the earlier tile-wide FFN form measured 20.5 MB
+    # scoped VMEM at b_tile=4 and needed 2).  Small shapes take bigger
+    # tiles to amortise launch overhead.
     if t * d >= 48 * 1024:
-        b_tile = 2
+        b_tile = 4
     elif t * d >= 16 * 1024:
         b_tile = 4
     else:
