@@ -56,6 +56,80 @@ QWEN_TABLE = {
         rms_eps=1e-6, qkv_bias=True, tie_embeddings=True),
 }
 
+FALCON_TABLE = {
+    "tiiuae/falcon-7b": FalconArch(
+        vocab_size=65024, n_layer=32, n_embd=4544, n_head=71,
+        max_positions=2048),
+    "tiiuae/falcon-7b-instruct": FalconArch(
+        vocab_size=65024, n_layer=32, n_embd=4544, n_head=71,
+        max_positions=2048),
+}
+
+
+def _resolve_local_hf_config(model_str: str):
+    """If ``model_str`` points at a local HF checkpoint directory (or
+    directly at a config.json), return the parsed config dict — the
+    air-gapped analog of the reference's any-checkpoint
+    ``from_pretrained`` (reference decoder.py:119-134, which lets HF
+    resolve the architecture from the hub).  Returns None when
+    ``model_str`` is a plain model id."""
+    import json
+    import os
+
+    path = None
+    if os.path.isfile(model_str) and model_str.endswith(".json"):
+        path = model_str
+    elif os.path.isdir(model_str):
+        cand = os.path.join(model_str, "config.json")
+        if os.path.isfile(cand):
+            path = cand
+    if path is None:
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def arch_from_hf_config(cfg: dict):
+    """HF config.json dict → (family, arch) where family selects the
+    decoder class/importer.  Covers the four families the reference's
+    prefix dispatch reaches (gpt2 / llama / falcon / qwen2)."""
+    mt = cfg.get("model_type")
+    if mt == "gpt2":
+        return "gpt2", dict(
+            n_layer=cfg["n_layer"], n_embd=cfg["n_embd"],
+            n_head=cfg["n_head"],
+            n_positions=cfg.get("n_positions", 1024),
+            vocab_size=cfg.get("vocab_size", 50257))
+    if mt in ("llama", "qwen2"):
+        return mt, LlamaArch(
+            vocab_size=cfg["vocab_size"],
+            n_layer=cfg["num_hidden_layers"],
+            n_embd=cfg["hidden_size"],
+            n_head=cfg["num_attention_heads"],
+            n_kv_head=cfg.get("num_key_value_heads",
+                              cfg["num_attention_heads"]),
+            intermediate=cfg["intermediate_size"],
+            max_positions=cfg.get("max_position_embeddings", 4096),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-5),
+            qkv_bias=(mt == "qwen2"),
+            tie_embeddings=cfg.get("tie_word_embeddings", False))
+    if mt == "falcon":
+        if not cfg.get("multi_query", True):
+            raise ValueError("Only multi_query falcon architectures are "
+                             "supported (falcon-7b family)")
+        return "falcon", FalconArch(
+            vocab_size=cfg["vocab_size"],
+            n_layer=cfg["num_hidden_layers"],
+            n_embd=cfg["hidden_size"],
+            n_head=cfg["num_attention_heads"],
+            max_positions=cfg.get("max_position_embeddings", 2048),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            ln_eps=cfg.get("layer_norm_epsilon", 1e-5))
+    raise ValueError(
+        f"Unsupported HF model_type {mt!r} in config.json — supported "
+        "families: gpt2, llama, qwen2, falcon")
+
 
 class HuggingfaceDecoder(Decoder):
     """Shared plumbing: embeddings, tied-or-separate lm_head, KV cache,
@@ -136,13 +210,22 @@ class HuggingfaceDecoder(Decoder):
 
 
 class GPT2HuggingfaceDecoder(HuggingfaceDecoder):
-    def __init__(self, config: HuggingfaceDecoderConfig):
-        assert config.model_str.startswith("gpt2")
-        args = GPT2_TABLE[config.model_str]
-        super().__init__(config, block_size=1024, n_embd=args["n_embd"],
+    def __init__(self, config: HuggingfaceDecoderConfig, args=None):
+        if args is None:
+            if config.model_str not in GPT2_TABLE:
+                raise ValueError(
+                    f"Unknown gpt2 model_str {config.model_str!r} — known: "
+                    f"{sorted(GPT2_TABLE)}; or pass a local HF checkpoint "
+                    "dir / config.json path as model_str")
+            args = dict(GPT2_TABLE[config.model_str], n_positions=1024)
+        args = dict(args)
+        args.pop("vocab_size", None)
+        n_positions = args.pop("n_positions", 1024)
+        super().__init__(config, block_size=n_positions,
+                         n_embd=args["n_embd"],
                          tied=True, embed_path="transformer.wte")
         self.backbone = self.add("transformer", GPT2Backbone(
-            vocab_size=self.vocab_eff, n_positions=1024,
+            vocab_size=self.vocab_eff, n_positions=n_positions,
             dropout_rate=0.1, cross_attn=config.use_cross_attn, **args))
         self.backbone.enable_gradient_checkpointing = \
             config.enable_gradient_checkpointing
@@ -251,27 +334,60 @@ def build_hf_decoder(config: HuggingfaceDecoderConfig,
     """model_str prefix dispatch (reference decoder.py:119-134) + optional
     pretrained-weight import + LoRA + 4-bit quantization."""
     s = config.model_str
-    if s.startswith("gpt2"):
+    local_cfg = _resolve_local_hf_config(s)
+    if local_cfg is not None:
+        family, arch = arch_from_hf_config(local_cfg)
+        if family == "gpt2":
+            model = GPT2HuggingfaceDecoder(config, args=arch)
+            importer = import_hf_gpt2
+        elif family in ("llama", "qwen2"):
+            model = LlamaHuggingfaceDecoder(config, arch,
+                                            min_vocab=arch.vocab_size)
+            importer = lambda p, sd, loose=False: import_hf_llama(
+                p, sd, loose, tie_embeddings=arch.tie_embeddings)
+        else:  # falcon
+            model = FalconHuggingfaceDecoder(config, arch)
+            importer = import_hf_falcon
+    elif s.startswith("gpt2"):
         assert config.vocab_size >= 50257, "vocab should not shrink"
         model = GPT2HuggingfaceDecoder(config)
         importer = import_hf_gpt2
     elif "Llama-2" in s or "llama-2" in s.lower():
+        if s not in LLAMA_TABLE:
+            raise ValueError(
+                f"Unknown Llama-2 model_str {s!r} — known: "
+                f"{sorted(LLAMA_TABLE)}; or pass a local HF checkpoint "
+                "dir / config.json path as model_str")
         arch = LLAMA_TABLE[s]
         model = LlamaHuggingfaceDecoder(config, arch, min_vocab=32000)
         importer = lambda p, sd, loose=False: import_hf_llama(
             p, sd, loose, tie_embeddings=arch.tie_embeddings)
     elif "Qwen" in s or "qwen" in s.lower():
+        if s not in QWEN_TABLE:
+            raise ValueError(
+                f"Unknown Qwen model_str {s!r} — known: "
+                f"{sorted(QWEN_TABLE)}; or pass a local HF checkpoint "
+                "dir / config.json path as model_str")
         arch = QWEN_TABLE[s]
         model = LlamaHuggingfaceDecoder(config, arch, min_vocab=151936)
         importer = lambda p, sd, loose=False: import_hf_llama(
             p, sd, loose, tie_embeddings=arch.tie_embeddings)
     elif "falcon" in s.lower():
-        arch = FalconArch(vocab_size=65024, n_layer=32, n_embd=4544,
-                          n_head=71, max_positions=2048)
+        if s not in FALCON_TABLE:
+            raise ValueError(
+                f"Unknown falcon model_str {s!r} — known: "
+                f"{sorted(FALCON_TABLE)}; or pass a local HF checkpoint "
+                "dir / config.json path as model_str")
+        import dataclasses
+
+        arch = dataclasses.replace(FALCON_TABLE[s])
         model = FalconHuggingfaceDecoder(config, arch)
         importer = import_hf_falcon
     else:
-        raise ValueError(f"Unknown huggingface model_str: {s!r}")
+        raise ValueError(
+            f"Unknown huggingface model_str: {s!r} — known ids: "
+            f"{sorted(GPT2_TABLE) + sorted(LLAMA_TABLE) + sorted(QWEN_TABLE) + sorted(FALCON_TABLE)}; "
+            "or pass a local HF checkpoint dir / config.json path")
 
     model._hf_importer = importer
     model._load_weights = load_weights

@@ -197,9 +197,7 @@ def fused_block_compatible(block, p, x,
     # hidden 2048; the earlier tile-wide FFN form measured 20.5 MB
     # scoped VMEM at b_tile=4 and needed 2).  Small shapes take bigger
     # tiles to amortise launch overhead.
-    if t * d >= 48 * 1024:
-        b_tile = 4
-    elif t * d >= 16 * 1024:
+    if t * d >= 16 * 1024:
         b_tile = 4
     else:
         b_tile = 8

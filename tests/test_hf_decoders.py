@@ -517,3 +517,113 @@ def test_hf_backbone_remat_and_policy():
             np.testing.assert_allclose(np.asarray(g),
                                        np.asarray(out[variant][1][k]),
                                        rtol=2e-5, atol=1e-7, err_msg=k)
+
+
+# -- round-5: factory hardening (VERDICT r04 item 5) -------------------------
+
+def test_factory_unknown_model_strings_raise():
+    """Unknown model ids must raise with the known-id list — in particular
+    unknown "falcon" strings must NOT silently build falcon-7b dims
+    (round-4 defect: factory.py any-falcon branch)."""
+    from image2text_tpu.models.hf_decoders.factory import build_hf_decoder
+
+    for s in ("gpt2-turbo", "meta-llama/Llama-2-70b-hf", "Qwen/Qwen2-7B",
+              "tiiuae/falcon-40b", "mistralai/Mistral-7B-v0.1"):
+        with pytest.raises(ValueError, match="nknown"):
+            build_hf_decoder(_cfg(s, 200000), load_weights=False)
+
+
+def test_factory_local_config_json_gpt2_parity(tmp_path):
+    """The reference builds ANY checkpoint via from_pretrained (reference
+    decoder.py:119-134, HF resolves the architecture).  Air-gapped analog:
+    model_str may be a local HF checkpoint dir whose config.json drives
+    construction.  Oracle: the factory-built decoder imports a tiny HF
+    GPT-2's weights and matches its logits."""
+    import json
+
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from image2text_tpu.models.hf_decoders.factory import build_hf_decoder
+
+    d = tmp_path / "my-gpt2-ckpt"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(
+        {"model_type": "gpt2", "n_layer": 2, "n_embd": 32, "n_head": 2,
+         "n_positions": 64, "vocab_size": 96}))
+    dec = build_hf_decoder(_cfg(str(d), 96), load_weights=False)
+    assert dec.block_size == 64
+    hf = GPT2LMHeadModel(GPT2Config(
+        n_layer=2, n_embd=32, n_head=2, vocab_size=96, n_positions=64,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0))
+    hf.eval()
+    params = dec._hf_importer(dec.init(KEY), _np_sd(hf))
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 96, (2, 10))
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(ids))
+    logits, _ = dec(params, idx=jnp.asarray(ids), use_flash=False)
+    np.testing.assert_allclose(np.asarray(logits), out.logits.numpy(),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_factory_local_config_json_llama_parity(tmp_path):
+    """config.json-driven construction dispatches llama-family dims (incl.
+    GQA heads) and the factory-built decoder passes the importer oracle."""
+    import json
+
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from image2text_tpu.models.hf_decoders.factory import (
+        LlamaHuggingfaceDecoder, build_hf_decoder)
+
+    d = tmp_path / "my-llama-ckpt"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(
+        {"model_type": "llama", "num_hidden_layers": 2, "hidden_size": 32,
+         "num_attention_heads": 4, "num_key_value_heads": 2,
+         "intermediate_size": 64, "vocab_size": 96,
+         "max_position_embeddings": 128, "rms_norm_eps": 1e-5,
+         "rope_theta": 10000.0, "tie_word_embeddings": False}))
+    dec = build_hf_decoder(_cfg(str(d), 96), load_weights=False)
+    assert isinstance(dec, LlamaHuggingfaceDecoder)
+    assert dec.arch.n_kv_head == 2 and dec.arch.intermediate == 64
+    hf = LlamaForCausalLM(LlamaConfig(
+        num_hidden_layers=2, hidden_size=32, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, vocab_size=96,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_dropout=0.0, tie_word_embeddings=False))
+    hf.eval()
+    params = dec._hf_importer(dec.init(KEY), _np_sd(hf))
+    rng = np.random.default_rng(8)
+    ids = rng.integers(0, 96, (2, 9))
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(ids))
+    logits, _ = dec(params, idx=jnp.asarray(ids), use_flash=False)
+    np.testing.assert_allclose(np.asarray(logits), out.logits.numpy(),
+                               atol=3e-4, rtol=3e-4)
+
+
+def test_arch_from_hf_config_families():
+    """qwen2 gets qkv_bias; falcon maps epsilon/rope; non-multi_query
+    falcon and unknown model_type raise."""
+    from image2text_tpu.models.hf_decoders.factory import arch_from_hf_config
+
+    fam, arch = arch_from_hf_config(
+        {"model_type": "qwen2", "num_hidden_layers": 2, "hidden_size": 32,
+         "num_attention_heads": 4, "num_key_value_heads": 2,
+         "intermediate_size": 64, "vocab_size": 96,
+         "tie_word_embeddings": True})
+    assert fam == "qwen2" and arch.qkv_bias and arch.tie_embeddings
+
+    fam, arch = arch_from_hf_config(
+        {"model_type": "falcon", "num_hidden_layers": 2, "hidden_size": 32,
+         "num_attention_heads": 4, "vocab_size": 96, "multi_query": True,
+         "layer_norm_epsilon": 1e-6, "rope_theta": 5e5})
+    assert fam == "falcon" and arch.ln_eps == 1e-6 and arch.rope_theta == 5e5
+
+    with pytest.raises(ValueError):
+        arch_from_hf_config({"model_type": "falcon", "multi_query": False,
+                             "num_hidden_layers": 2, "hidden_size": 32,
+                             "num_attention_heads": 4, "vocab_size": 96})
+    with pytest.raises(ValueError):
+        arch_from_hf_config({"model_type": "mistral"})

@@ -34,6 +34,7 @@ and the rest continue; the exit code is non-zero only on a real FAILURE):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import traceback
 
@@ -210,7 +211,8 @@ def stage_train(args, state):
     cfg["epochs"] = 1
     cfg["max_loop_epochs"] = 1
     cfg_path = _dump_cfg(cfg)
-    ck = tempfile.mktemp(suffix=".npz")
+    fd, ck = tempfile.mkstemp(suffix=".npz")
+    os.close(fd)
     cmd = [sys.executable, "trainer.py", "--config_file", cfg_path,
            "--chkpt_file", ck]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
