@@ -536,6 +536,24 @@ class TransformerBlock(Module):
                     return out, layout
                 return out if layout is None else canonicalize(out, layout)
             not_idx = self.not_idx_np[self.not_idx_np < t]
+            if (want_lazy and use_flash and not ctx.train
+                    and kv_cache is None and attn_mask is None
+                    and cross_attn_inputs is None and cross_kv is None
+                    and not self.is_causal and sparse_rule_len is None):
+                # serving path v2: select-gather + residual chain + null
+                # bypass + [sel; byp] concat in ONE Pallas kernel
+                # (ops/fused_block.py::_sparse_block_kernel) — the
+                # XLA-side sparse machinery (static_take / null linear /
+                # concat) cost ~2 ms/block at batch 256 on top of the
+                # fused chain (PROFILE_ENC_BLOCK.json scatter rows)
+                from image2text_tpu.ops.fused_block import (
+                    fused_sparse_block_compatible)
+
+                stream = fused_sparse_block_compatible(self, p, x_orig,
+                                                       layout)
+                if stream is not None:
+                    return (sp_constrain(self, stream, ctx, kv_cache),
+                            np.concatenate([idx, not_idx]))
             x = static_take(x_orig, layout_rows(layout, idx))
             if attn_mask is not None:
                 attn_mask = jnp.take(jnp.take(attn_mask, idx, axis=-2), idx, axis=-1)

@@ -275,27 +275,30 @@ class MultiheadAttention(Module):
 
         q = split_heads(q)
         if isinstance(precomputed_kv, QuantizedKV):
-            # int8 serving path: both dots run natively on int8 operands
-            # (the MXU's s8xs8->s32 mode) so only 1-byte K/V rows cross
-            # HBM.  All scales are per-ROW of the contraction's batch dims
-            # — k/v scales per memory position, q/prob scales per query —
-            # so they factor out of the d- and k-sums exactly; the only
-            # approximation is the int8 rounding itself.
+            # int8 serving path: only 1-byte K/V rows cross HBM; the dots
+            # run MIXED-precision — fp q/probs against int8 K/V converted
+            # in-register — with the per-position K/V scales factored out
+            # of the d-sum exactly.  The round-4 form quantized q and the
+            # probabilities too (full s8xs8 MXU dots): its extra VPU
+            # quantize/scale passes cost MORE than the saved bandwidth and
+            # it measured a net LOSS end-to-end (2,209 vs 2,281 captions/s,
+            # BENCH_QUEUE_r04).  PROBE_CROSS_DECODE.jsonl round-5 rows:
+            # full-int8 1.706 ms, bf16 exact 1.116, this mixed form 0.831
+            # (batch 256, 12-layer chain) — and dropping the q/prob
+            # roundings makes it strictly more accurate as well.
             assert not ctx.train, "quantized cross-KV is decode-only"
             kq, ks, vq, vs = precomputed_kv
-            qq, qs = quantize_rows_int8(q)
-            scores = jnp.einsum("...hqd,...hkd->...hqk", qq, kq,
-                                preferred_element_type=jnp.int32)
-            scores = scores.astype(jnp.float32) \
-                * (qs[..., :, None] * ks[..., None, :]) \
-                / math.sqrt(self.head_dim)
+            scores = jnp.einsum("...hqd,...hkd->...hqk", q,
+                                kq.astype(q.dtype),
+                                preferred_element_type=jnp.float32)
+            scores = scores * ks[..., None, :] / math.sqrt(self.head_dim)
             probs = jax.nn.softmax(scores, axis=-1)
-            # fold the per-position V scale into the probabilities BEFORE
-            # quantizing them (it cannot be pulled out of the k-sum)
-            pq, ps = quantize_rows_int8(probs * vs[..., None, :])
-            y = (jnp.einsum("...hqk,...hkd->...hqd", pq, vq,
-                            preferred_element_type=jnp.int32)
-                 .astype(jnp.float32) * ps[..., None]).astype(query.dtype)
+            # fold the per-position V scale into the probabilities (it
+            # cannot be pulled out of the k-sum)
+            pv = (probs * vs[..., None, :]).astype(q.dtype)
+            y = jnp.einsum("...hqk,...hkd->...hqd", pv, vq.astype(q.dtype),
+                           preferred_element_type=jnp.float32
+                           ).astype(query.dtype)
             y = y.swapaxes(-3, -2).reshape(*query.shape[:-1], e)
             return self.out_proj(p["out_proj"], y)
         if precomputed_kv is not None:

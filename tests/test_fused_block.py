@@ -67,3 +67,69 @@ def test_dispatch_declines_out_of_scope():
     # sublane-ragged sequence length
     x = jnp.zeros((8, 13, 256), jnp.float32)
     assert fused_block_compatible(blk, params, x, interpret=True) is None
+
+
+# -- round-5: v2 kernel — sparse machinery folded in -------------------------
+
+def _mk_sparse(bias):
+    cfg = TransformerConfig(
+        is_causal=False, is_cross_attn=False, is_sparse_attn=True,
+        max_block_size=32, sparsity_factor=0.5,
+        attn_config=SelfAttentionConfig(
+            attn_dropout=0.1, bias=bias, dropout=0.1, n_head=2, n_embd=256,
+            attn_type=SelfAttentionType.MULTI_QUERY),
+        rotator_config=MoEConfig(num_experts=4, proj_features=16,
+                                 gate_sizes=[32], ff_mult_factor=2.0,
+                                 top_k=2))
+    blk = TransformerBlock(cfg, seed=3, n_cls=4)
+    params = blk.init(jax.random.PRNGKey(0))
+    return blk, params
+
+
+@pytest.mark.parametrize("bias", [True, False])
+def test_fused_sparse_block_matches_lazy_xla(bias):
+    """v2 kernel (gather + chain + null bypass + concat in one pallas_call)
+    == the XLA lazy sparse path, for canonical AND permuted layouts."""
+    from image2text_tpu.ops.fused_block import fused_sparse_block_compatible
+
+    blk, params = _mk_sparse(bias)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(0.3 * rng.standard_normal((4, 32, 256)), jnp.float32)
+    for layout in (None, np.random.default_rng(2).permutation(32)):
+        ref, ref_layout = blk(params, x, ctx=Ctx(train=False),
+                              use_flash=False, layout=layout, want_lazy=True)
+        out = fused_sparse_block_compatible(blk, params, x, layout,
+                                            interpret=True)
+        assert out is not None
+        np.testing.assert_array_equal(
+            ref_layout,
+            np.concatenate([blk.idx_np, blk.not_idx_np]))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5,
+                                   err_msg=f"layout={layout is not None}")
+
+
+def test_fused_sparse_block_bf16_and_decline():
+    from image2text_tpu.ops.fused_block import fused_sparse_block_compatible
+
+    blk, params = _mk_sparse(False)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(0.3 * rng.standard_normal((2, 32, 256)), jnp.bfloat16)
+    ref = blk(params, x, ctx=Ctx(train=False), use_flash=False,
+              want_lazy=True, layout=None)[0]
+    out = fused_sparse_block_compatible(blk, params, x, None, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.06, atol=0.06)
+    # dense block declines; fp16 declines
+    dblk, dparams = _mk(False)
+    xd = jnp.zeros((4, 16, 256), jnp.float32)
+    assert fused_sparse_block_compatible(dblk, dparams, xd, None,
+                                         interpret=True) is None
+    assert fused_sparse_block_compatible(blk, params,
+                                         x.astype(jnp.float16), None,
+                                         interpret=True) is None

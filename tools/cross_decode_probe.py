@@ -101,7 +101,8 @@ def main(batch: int):
             preferred_element_type=jnp.float32)[:, :, None].astype(q.dtype)
 
     # the real shipping path: q/out projections + split-head einsums
-    from image2text_tpu.nn.modules import MultiheadAttention
+    from image2text_tpu.nn.modules import (MultiheadAttention, QuantizedKV,
+                                           quantize_rows_int8)
 
     mha = MultiheadAttention(H * D, H)
     mp = jax.tree_util.tree_map(
@@ -113,9 +114,58 @@ def main(batch: int):
                 precomputed_kv=(k, v))
         return y.reshape(batch, 1, H, D).swapaxes(1, 2)
 
+    # ---- int8 serving-mode variants (round-5: attribute the end-to-end
+    # regression of cross_kv_quant='int8' — BENCH_QUEUE_r04 2,209 vs 2,281)
+    kq8, ks8 = quantize_rows_int8(ks)        # (L,b,h,s) scales f32
+    vq8, vs8 = quantize_rows_int8(vs)
+
+    def attn_int8_module(q, kv8):
+        y = mha(mp, q[:, :, 0].reshape(batch, 1, H * D), None, None,
+                precomputed_kv=QuantizedKV(*kv8))
+        return y.reshape(batch, 1, H, D).swapaxes(1, 2)
+
+    def attn_int8_raw(q, kv8):
+        # shipping math minus the module's q/out projections
+        kq, ksc, vq, vsc = kv8
+        qq, qs = quantize_rows_int8(q)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qq, kq,
+                       preferred_element_type=jnp.int32)
+        s = s.astype(jnp.float32) * (qs[..., :, None] * ksc[..., None, :]) \
+            * scale
+        p = jax.nn.softmax(s, axis=-1)
+        pq, ps = quantize_rows_int8(p * vsc[..., None, :])
+        return ((jnp.einsum("bhqk,bhkd->bhqd", pq, vq,
+                            preferred_element_type=jnp.int32)
+                 .astype(jnp.float32) * ps[..., None])
+                .astype(q.dtype))
+
+    def attn_int8_dequant(q, kv8):
+        # read int8 from HBM, dequantise INTO the bf16 dot (XLA fuses the
+        # convert into the operand read) — no int8 MXU mode involved
+        kq, ksc, vq, vsc = kv8
+        k = kq.astype(jnp.bfloat16) * ksc[..., None].astype(jnp.bfloat16)
+        v = vq.astype(jnp.bfloat16) * vsc[..., None].astype(jnp.bfloat16)
+        return attn_einsum(q, k, v)
+
+    def attn_int8_bf16q(q, kv8):
+        # bf16 q against int8 k (mixed dot; XLA converts k in-register)
+        kq, ksc, vq, vsc = kv8
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kq.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        s = s * ksc[..., None, :] * scale
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        y = jnp.einsum("bhqk,bhkd->bhqd", (p * vsc[..., None, :]).astype(
+            jnp.bfloat16), vq.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        return y.astype(q.dtype)
+
     variants = {"einsum": attn_einsum, "flash": attn_flash,
                 "vpu": attn_vpu, "fused1": attn_fused1,
                 "module": attn_module}
+    int8_variants = {"int8_module": attn_int8_module,
+                     "int8_raw": attn_int8_raw,
+                     "int8_dequant": attn_int8_dequant,
+                     "int8_bf16q": attn_int8_bf16q}
 
     def chain(fn, n):
         def run(q, ks, vs):
@@ -147,16 +197,54 @@ def main(batch: int):
             return jax.lax.fori_loop(0, n, body, q)
         return jax.jit(run)
 
+    def chain8(fn, n):
+        def run(q, kq8, ks8, vq8, vs8):
+            def body(i, q):
+                def layer(l, q):
+                    o = fn(q, (kq8[l], ks8[l], vq8[l], vs8[l]))
+                    return (q + o).astype(q.dtype)
+                return jax.lax.fori_loop(0, LAYERS, layer, q)
+            return jax.lax.fori_loop(0, n, body, q)
+        return jax.jit(run)
+
+    # int8 bandwidth ceiling: stream the int8 buffers + scales
+    gb8 = (2 * LAYERS * batch * H * S * D * 1
+           + 2 * LAYERS * batch * H * S * 4) / 1e9
+    out["kv8_gb_per_step"] = round(gb8, 3)
+    out["hbm8_floor_ms"] = round(gb8 / V5E_HBM_GBS * 1e3, 3)
+
+    def stream8(n):
+        def run(q, kq8, ks8, vq8, vs8):
+            def body(i, q):
+                a = q[0, 0, 0, 0].astype(jnp.float32)
+                s = jnp.sum(kq8.astype(jnp.float32) * a) + \
+                    jnp.sum(vq8.astype(jnp.float32) * a) + \
+                    jnp.sum(ks8 * a) + jnp.sum(vs8 * a)
+                return q + (s * 1e-30).astype(q.dtype)
+            return jax.lax.fori_loop(0, n, body, q)
+        return jax.jit(run)
+
     progs = {name: (chain(fn, LO), chain(fn, HI))
              for name, fn in variants.items()}
     progs["stream"] = (stream(LO), stream(HI))
+    progs8 = {name: (chain8(fn, LO), chain8(fn, HI))
+              for name, fn in int8_variants.items()}
+    progs8["int8_stream"] = (stream8(LO), stream8(HI))
+    args8 = (q0, kq8, ks8, vq8, vs8)
     for name, (flo, fhi) in progs.items():
         jax.block_until_ready(flo(q0, ks, vs))
         jax.block_until_ready(fhi(q0, ks, vs))
+    for name, (flo, fhi) in progs8.items():
+        jax.block_until_ready(flo(*args8))
+        jax.block_until_ready(fhi(*args8))
     for name, (flo, fhi) in progs.items():
         ms = slope_ms(flo, fhi, (q0, ks, vs))
         out[f"{name}_ms"] = round(ms, 3)
         out[f"{name}_gbs"] = round(gb_per_step / ms * 1e3, 1) if ms > 0 else None
+    for name, (flo, fhi) in progs8.items():
+        ms = slope_ms(flo, fhi, args8)
+        out[f"{name}_ms"] = round(ms, 3)
+        out[f"{name}_gbs"] = round(gb8 / ms * 1e3, 1) if ms > 0 else None
     out["calib_after_tflops"] = round(quick_calib(), 1)
     out["device_kind"] = getattr(jax.devices()[0], "device_kind", "?")
     print(json.dumps(out))
