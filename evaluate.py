@@ -47,7 +47,7 @@ def main(args):
     tokenizer = get_tokenizer(
         config.tokenizer_str, config.trainer.mask_fraction,
         synthetic_vocab=config.model.decoder_config.vocab_size,
-        allow_fallback=config.dataset == "synthetic")
+        allow_fallback=config.dataset.startswith("synthetic"))
     model = VisionEncoderDecoder(config.model)
     params = model.init(jax.random.PRNGKey(config.seed))
     if args.int8_serving:

@@ -36,6 +36,9 @@ from image2text_tpu.models.layers import (
 )
 from image2text_tpu.models.vit import VisionTransformerB16
 
+# kwargs override for the PretrainedViT backbone (see PretrainedViT)
+VIT_B16_ARGS: dict = {}
+
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
     return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
@@ -78,7 +81,9 @@ class PretrainedViT(Encoder):
         self.n_cls = config.n_cls
         self.use_peer = config.peer_config is not None
         self.use_lsh = (not self.use_peer) and config.lsh_config is not None
-        self.model = self.add("model", VisionTransformerB16())
+        # VIT_B16_ARGS: test/tool hook (like hf_decoders.GPT2_TABLE) to
+        # build a depth-reduced backbone for offline parity harnesses
+        self.model = self.add("model", VisionTransformerB16(**VIT_B16_ARGS))
         # LSH head forces the backbone frozen (encoder.py:73)
         self.refine = config.refine_base_model if not self.use_lsh else False
 
@@ -99,6 +104,10 @@ class PretrainedViT(Encoder):
                        normal_init(std=1.0 / math.sqrt(768)))
         else:
             self.peer = None
+            # the reference registers a frozen dummy peer_proj_wt even on
+            # the non-peer paths (reference encoder.py:88-93) — keep the
+            # state-dict key so its checkpoints round-trip
+            self.buffer("peer_proj_wt", np.zeros((1,), np.float32))
 
         if self.use_lsh:
             lc = config.lsh_config

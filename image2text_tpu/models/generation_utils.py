@@ -39,6 +39,7 @@ from image2text_tpu.models.generation import decoder_step, precompute_cross_kv
 from image2text_tpu.models.sampling import (
     apply_no_repeat_ngram,
     apply_top_k,
+    beam_candidates_with_ngram,
     chunked_top_k,
     gumbel_topk_sample,
 )
@@ -74,17 +75,28 @@ class BeamSearchTokenGenerator:
     # -- per-round candidate scoring (reference decode_next, :57-93) --------
     def _candidates(self, last_logits, ids_flat, cur_len, rng):
         bef = self.beam_expansion_factor
-        scores = apply_no_repeat_ngram(last_logits.astype(jnp.float32),
-                                       ids_flat, cur_len,
-                                       self.no_repeat_n_grams)
-        scores = apply_top_k(scores, self.top_k)
-        if self.temperature <= 0:
-            prob = jax.nn.log_softmax(scores, axis=-1)
-            _, next_id = chunked_top_k(scores, bef)   # gathered small-k pull
-            log_scores = jnp.take_along_axis(prob, next_id, axis=-1)
+        # fused ban + top-k + bef-select in one full-vocab pass (round-5:
+        # the dense scatter-ban + full-vocab softmax/Gumbel below was the
+        # beam loop's dominant per-step cost — see
+        # sampling.beam_candidates_with_ngram); falls back to the dense
+        # path for configs it cannot serve (full-vocab stochastic)
+        fused = beam_candidates_with_ngram(
+            last_logits, ids_flat, cur_len, self.no_repeat_n_grams, rng,
+            self.temperature, self.top_k, bef)
+        if fused is not None:
+            next_id, log_scores = fused
         else:
-            prob = jax.nn.log_softmax(scores / self.temperature, axis=-1)
-            next_id, log_scores = gumbel_topk_sample(prob, bef, rng)
+            scores = apply_no_repeat_ngram(last_logits.astype(jnp.float32),
+                                           ids_flat, cur_len,
+                                           self.no_repeat_n_grams)
+            scores = apply_top_k(scores, self.top_k)
+            if self.temperature <= 0:
+                prob = jax.nn.log_softmax(scores, axis=-1)
+                _, next_id = chunked_top_k(scores, bef)  # small-k pull
+                log_scores = jnp.take_along_axis(prob, next_id, axis=-1)
+            else:
+                prob = jax.nn.log_softmax(scores / self.temperature, axis=-1)
+                next_id, log_scores = gumbel_topk_sample(prob, bef, rng)
         if self.eos_token_id is not None:
             last_tok = jnp.take_along_axis(
                 ids_flat, jnp.full((ids_flat.shape[0], 1), cur_len - 1), axis=1)

@@ -447,6 +447,98 @@ def sample_topk_with_ngram(logits: jax.Array, ids_buf: jax.Array,
                         None)
 
 
+def beam_candidates_with_ngram(logits: jax.Array, ids_buf: jax.Array,
+                               cur_len: jax.Array,
+                               ngram_sizes: Sequence[int], rng: jax.Array,
+                               temperature: Optional[float],
+                               top_k: Optional[int], bef: int):
+    """Fused ngram-ban + top-k + bef-candidate selection for stochastic
+    beam search (reference generation_utils.py:57-93 semantics), in ONE
+    full-vocab pass plus small-head math.
+
+    The dense formulation (apply_no_repeat_ngram's row-wise scatter +
+    full-vocab log_softmax + full-vocab Gumbel top-k, every step, on
+    bw·bs rows) is the beam loop's dominant cost — the same scatter
+    measured ~3.4 ms/step at 256 rows in the sampler before round 4's
+    fused path.  Same containment logic as sample_topk_with_ngram: bans
+    never add candidates, so the winners live in the top-(k+margin) raw
+    head; a lax.cond falls back to the exact top-(k+m) pull when a row
+    overflows the margin.
+
+    Returns (next_ids (B, bef), log_scores (B, bef) f32) where
+    log_scores are log-softmax values of the banned + top-k-masked
+    logits (at ``temperature`` when stochastic) — the truncated,
+    renormalised distribution.  Returns None when the configuration
+    needs the dense path (stochastic full-vocab sampling: top_k None
+    with temperature > 0, or bef > top_k).
+
+    Tie caveat (same as the sampler's fast path): the reference keeps
+    ALL values tied at the k-th threshold in the distribution; this
+    keeps exactly k — they differ only on exact float ties.
+    """
+    v = logits.shape[-1]
+    greedy = temperature is None or temperature <= 0
+    k = min(top_k, v) if top_k is not None else None
+    if k is None and not greedy:
+        return None
+    if k is not None and bef > k:
+        return None
+    cand, ban = _ngram_bans(ids_buf, cur_len, ngram_sizes)
+    m = 0 if cand is None else cand.shape[-1]
+    banned_id = None if cand is None else jnp.where(ban, cand, -1)
+    if k is None:
+        # greedy, no top-k filter: support = all unbanned ids; the exact
+        # log-softmax denominator over that set comes from one full lse
+        # corrected by the (<= m) banned terms — no scatter needed
+        lse_all = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1, keepdims=True)   # (B, 1)
+        if banned_id is not None:
+            bv = jnp.take_along_axis(logits.astype(jnp.float32),
+                                     jnp.maximum(banned_id, 0), axis=-1)
+            mass = jnp.sum(jnp.where(ban, jnp.exp(bv - lse_all), 0.0),
+                           axis=-1, keepdims=True)
+            lse_kept = lse_all + jnp.log1p(-jnp.minimum(mass, 1.0 - 1e-7))
+        else:
+            lse_kept = lse_all
+
+    def pick(kk):
+        vals, idx = chunked_top_k(logits, kk, chunk=max(2048, kk))
+        if banned_id is not None:
+            hit = jnp.any(idx[..., :, None] == banned_id[..., None, :],
+                          axis=-1)
+            vals = jnp.where(hit, jnp.asarray(NEG_INF, vals.dtype), vals)
+            n_banned = jnp.sum(hit, axis=-1)
+        else:
+            n_banned = jnp.zeros(vals.shape[:-1], jnp.int32)
+        need = k if k is not None else bef
+        ok = jnp.all(n_banned <= kk - need)
+        if k is None:
+            tv, sel = jax.lax.top_k(vals, bef)
+            ti = jnp.take_along_axis(idx, sel, axis=-1)
+            return ok, ti, tv.astype(jnp.float32) - lse_kept
+        tv, sel = jax.lax.top_k(vals, k)
+        ti = jnp.take_along_axis(idx, sel, axis=-1)
+        logp = jax.nn.log_softmax(
+            tv.astype(jnp.float32) / (1.0 if greedy else temperature),
+            axis=-1)
+        if greedy:
+            _, pos = jax.lax.top_k(tv.astype(jnp.float32), bef)
+        else:
+            g = jax.random.gumbel(rng, logp.shape, jnp.float32)
+            _, pos = jax.lax.top_k(logp + g, bef)
+        return (ok, jnp.take_along_axis(ti, pos, axis=-1),
+                jnp.take_along_axis(logp, pos, axis=-1))
+
+    kk_full = min((k if k is not None else bef) + m, v)
+    margin = 16
+    kk_fast = min((k if k is not None else bef) + margin, kk_full)
+    if kk_fast == kk_full:
+        return pick(kk_full)[1:]
+    ok, fi, fs = pick(kk_fast)
+    return jax.lax.cond(ok, lambda _: (fi, fs),
+                        lambda _: pick(kk_full)[1:], None)
+
+
 def gumbel_topk_sample(log_probs: jax.Array, k: int,
                        rng: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Sample k ids without replacement ∝ exp(log_probs) (Gumbel-top-k).

@@ -151,6 +151,82 @@ class SyntheticFlickrDataset:
             yield batch
 
 
+class SyntheticCompositeDataset(SyntheticFlickrDataset):
+    """Harder synthetic captioning task for DISCRIMINATIVE quality
+    measurement (round-5: the 16-class template task saturated BLEU-4 at
+    ~0.88 on 40 images, too coarse to price serving modes —
+    QUALITY_r04.json).
+
+    Each image composes THREE latent factors — object (8), style (6),
+    scene (6): 288 combinations — whose visual signatures sum into the
+    image.  Every caption is multi-clause: the three factor phrases
+    joined by fixed connector tokens, with the clause ORDER shuffled
+    per caption (as real Flickr annotators describe in different orders)
+    and 10% token jitter.  A model must recover all three factors AND
+    their phrasing to score; BLEU sits mid-range and mode deltas
+    resolve above image-resampling noise."""
+
+    N_OBJ, N_STYLE, N_SCENE = 8, 6, 6
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        rng = np.random.default_rng(54321)  # shared train/val assets
+        v = self.vocab_size
+        self.obj_phrases = rng.integers(1, v, (self.N_OBJ, 6)).astype(np.int64)
+        self.style_phrases = rng.integers(1, v, (self.N_STYLE, 4)).astype(np.int64)
+        self.scene_phrases = rng.integers(1, v, (self.N_SCENE, 6)).astype(np.int64)
+        self.connectors = rng.integers(1, v, (2,)).astype(np.int64)
+        size = self.image_size
+        self.obj_patterns = rng.standard_normal(
+            (self.N_OBJ, 3, size, size)).astype(np.float32)
+        self.style_patterns = rng.standard_normal(
+            (self.N_STYLE, 3, size, size)).astype(np.float32)
+        self.scene_patterns = rng.standard_normal(
+            (self.N_SCENE, 3, size, size)).astype(np.float32)
+
+    def _composite_caption(self, rng, obj, style, scene):
+        clauses = [self.obj_phrases[obj].copy(),
+                   self.style_phrases[style].copy(),
+                   self.scene_phrases[scene].copy()]
+        order = rng.permutation(3)
+        toks = []
+        for j, ci in enumerate(order):
+            if j:
+                toks.append(self.connectors[j - 1:j])
+            toks.append(clauses[ci])
+        t = np.concatenate(toks)
+        flip = rng.random(t.shape[0]) < 0.1
+        t[flip] = rng.integers(1, self.vocab_size, flip.sum())
+        ids = np.full((self.seq_len,), self.eos, np.int64)
+        n = min(t.shape[0], self.seq_len - 1)
+        ids[:n] = t[:n]
+        mask = np.zeros((self.seq_len,), np.int64)
+        mask[:n] = 1
+        return ids, mask
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        sig = self.class_signal / np.sqrt(3.0)  # keep total signal power
+        for _ in range(len(self)):
+            b = self.batch_size
+            objs = rng.integers(0, self.N_OBJ, b)
+            styles = rng.integers(0, self.N_STYLE, b)
+            scenes = rng.integers(0, self.N_SCENE, b)
+            images = rng.standard_normal(
+                (b, 3, self.image_size, self.image_size)).astype(np.float32)
+            images += sig * (self.obj_patterns[objs]
+                             + self.style_patterns[styles]
+                             + self.scene_patterns[scenes])
+            batch = {"image": images}
+            for k in range(5):
+                ids, masks = zip(*(self._composite_caption(
+                    rng, int(o), int(st), int(sc))
+                    for o, st, sc in zip(objs, styles, scenes)))
+                batch[f"input_ids_{k}"] = np.stack(ids)
+                batch[f"attn_mask_{k}"] = np.stack(masks)
+            yield batch
+
+
 class Prefetcher:
     """Background-thread batch prefetch: overlaps host-side batch assembly
     (5-caption expansion, tokenization, numpy shuffles) with device compute.

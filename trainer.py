@@ -26,6 +26,7 @@ from image2text_tpu.parallel.mesh import (
     maybe_initialize_distributed,
 )
 from image2text_tpu.training.data import (
+    SyntheticCompositeDataset,
     SyntheticFlickrDataset,
     WrapperDataLoader,
     get_flickr30k_dataloader,
@@ -75,15 +76,18 @@ def build_inner_datasets(config: TrainingConfig, tokenizer):
     host = jax.process_index()
     seed = config.seed + host * 1_000_003
     inner_bs = config.dataloader_buffer_size * config.batch_size
-    if config.dataset == "synthetic":
+    if config.dataset in ("synthetic", "synthetic-composite"):
         image_size = 224 if isinstance(config.model.vision_encoder_config,
                                        PretrainedViTConfig) else \
             config.model.vision_encoder_config.input.width
         vocab = config.model.decoder_config.vocab_size
-        train_ds = SyntheticFlickrDataset(
+        cls = (SyntheticCompositeDataset
+               if config.dataset == "synthetic-composite"
+               else SyntheticFlickrDataset)
+        train_ds = cls(
             27000, inner_bs, image_size=image_size, vocab_size=vocab,
             eos_token_id=tokenizer.eos_token_id, seed=seed)
-        val_ds = SyntheticFlickrDataset(
+        val_ds = cls(
             4000, inner_bs, image_size=image_size, vocab_size=vocab,
             eos_token_id=tokenizer.eos_token_id, seed=seed + 1)
     elif config.dataset == "local":
@@ -132,7 +136,7 @@ def main(args):
         # synthetic data carries no linguistic content, so a missing HF
         # cache may substitute the synthetic tokenizer; real-data runs must
         # fail instead of training on meaningless token ids
-        allow_fallback=config.dataset == "synthetic")
+        allow_fallback=config.dataset.startswith("synthetic"))
     train_dl, val_dl = build_dataloaders(config, tokenizer)
 
     wrapper = ModelTrainerWrapper(
