@@ -54,6 +54,11 @@ SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 # round-3 verdict asked for (boolean remat OOMs at batch 192;
 # jax.checkpoint_dots saves only matmul outputs instead of everything)
 REMAT_POLICY = os.environ.get("BENCH_TRAIN_REMAT") or None
+# BENCH_TRAIN_ACCUM=k: lax.scan gradient accumulation inside the jitted
+# step — recovers effective batches past the activation OOM line (the
+# verdict's micro-batch lever); batch points are interpreted as the
+# GLOBAL batch (k micro-batches of batch/k rows)
+ACCUM = int(os.environ.get("BENCH_TRAIN_ACCUM", "1"))
 _B = os.environ.get("BENCH_TRAIN_BATCHES")
 BATCHES = ((4, 8) if SMOKE else
            tuple(int(x) for x in _B.split(",")) if _B else
@@ -79,7 +84,14 @@ def _build():
                         vocab_size=vocab)
     wrapper = ModelTrainerWrapper(cfg.model, tok, cfg.trainer,
                                   ignore_index=cfg.ignore_index)
-    if REMAT_POLICY:
+    if REMAT_POLICY == "mixed":
+        # dots on the ENCODER only (its saved matmul outputs are the
+        # cheap/valuable ones), boolean on the decoder — the round-4
+        # verdict's untried mixed per-subtree policy
+        from image2text_tpu.training.remat import set_remat_policy
+
+        set_remat_policy(wrapper.model.encoder, "dots")
+    elif REMAT_POLICY:
         from image2text_tpu.training.remat import set_remat_policy
 
         set_remat_policy(wrapper.model,
@@ -89,14 +101,15 @@ def _build():
                                use_snr=cfg.use_snr_optim)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     step_fn = jax.jit(
-        make_train_step(wrapper, tx, accum_steps=1, precision=cfg.precision,
+        make_train_step(wrapper, tx, accum_steps=ACCUM,
+                        precision=cfg.precision,
                         use_flash=not cfg.disable_flash),
         donate_argnums=(0,))
     # the same step with the XLA attention path, for the end-to-end
     # flash-vs-XLA comparison point (compiled lazily on first call)
     step_nf = jax.jit(
-        make_train_step(wrapper, tx, accum_steps=1, precision=cfg.precision,
-                        use_flash=False),
+        make_train_step(wrapper, tx, accum_steps=ACCUM,
+                        precision=cfg.precision, use_flash=False),
         donate_argnums=(0,))
     return cfg, state, step_fn, step_nf
 
@@ -270,6 +283,7 @@ def main():
                           if step_ms_noflash else None),
         "steps_per_sec": round(steps_per_sec, 2),
         "remat_policy": REMAT_POLICY or "boolean",
+        "accum_steps": ACCUM,
         "batch": best,
         "seq_len": int(labels.shape[1]),
         "final_train_loss_lm": round(loss, 4),

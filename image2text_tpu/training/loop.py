@@ -315,12 +315,20 @@ class Trainer:
         num_steps = 100 if cfg.num_val_steps is None else cfg.num_val_steps
         loss_all: List[float] = []
         metrics_all: Dict[str, float] = {}
+        # keep every step's outputs on device and pull ONCE at the end:
+        # a float() per step is a host sync that serialises the val loop
+        # against dispatch (harmless at 100 steps, sloppy at scale)
+        losses = []
+        metrics_dev: Dict[str, list] = {}
         for _ in range(num_steps):
             images, labels = next(val_iter)
             images, labels = shard_batch(self.mesh, jnp.asarray(images),
                                          jnp.asarray(labels))
             loss, metrics = self._val_step(self.state.params, images, labels)
-            loss_all.append(float(loss))
+            losses.append(loss)
             for k, v in metrics.items():
-                metrics_all[k] = metrics_all.get(k, 0.0) + float(v) / num_steps
+                metrics_dev.setdefault(k, []).append(v)
+        loss_all = [float(x) for x in jax.device_get(losses)]
+        for k, vs in metrics_dev.items():
+            metrics_all[k] = float(np.mean(jax.device_get(vs)))
         return float(np.mean(loss_all)), metrics_all
