@@ -144,6 +144,12 @@ def main(args):
                "bleu4_ci95": ci(boot[m]["bleu4"]),
                "cider_ci95": ci(boot[m]["cider_d"])}
         if m != "exact":
+            # token-level agreement with the exact path (same rng stream):
+            # identical captions make the metric deltas exactly zero, and
+            # this field says so directly
+            same = sum(cands[m][i] == cands["exact"][i] for i in range(n))
+            row["caption_exact_match_rate"] = round(same / n, 4)
+        if m != "exact":
             for metric in ("bleu4", "cider_d"):
                 d = (np.asarray(boot[m][metric])
                      - np.asarray(boot["exact"][metric]))
