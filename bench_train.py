@@ -218,7 +218,11 @@ def main():
     # the kernels' training-path value measured end-to-end (with in-kernel
     # dropout; the disable_flash path materialises O(s^2) scores fwd+bwd)
     step_ms_noflash = None
+    if os.environ.get("BENCH_TRAIN_NOFLASH") == "0":
+        step_nf = None  # skip the extra compile (lean A/B sessions)
     try:
+        if step_nf is None:
+            raise RuntimeError("noflash comparison disabled")
         state, m = step_nf(state, images, labels, rng)  # warm/compile
         _fence(state, m)
         nf = []

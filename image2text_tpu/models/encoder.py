@@ -14,6 +14,7 @@ Gradient checkpointing maps to ``jax.checkpoint`` per block; the reference's
 from __future__ import annotations
 
 import math
+import os
 from typing import Union
 
 import jax
@@ -203,15 +204,32 @@ class VisionTransformerEncoder(Encoder):
         x = self.feature_extractor(p["feature_extractor"], images, ctx=ctx.fold(1))
         n = x.shape[0]
         x = x.reshape(n, self.n_patches ** 2, self.input_d)
-        x = self.ln_input(p["ln_input"], self.projector(p["projector"], x))
-        pos = jnp.arange(self.n_patches ** 2)
-        wpe = self.transformer._children["wpe"]
-        pos_emb = wpe(p["transformer"]["wpe"], pos)[None]
-        y = x + pos_emb.astype(x.dtype)
-        cls = jnp.broadcast_to(p["cls_token"].astype(x.dtype),
-                               (n, self.n_cls, self.out_dim))
-        x = jnp.concatenate([cls, self.ln_input(p["ln_input"], y)], axis=1)
-        x, ctx = dropout(x, self.dropout_rate, ctx)
+        stream = None
+        if not ctx.train and os.environ.get("GRAFT_FUSED_FRONTEND") == "1":
+            # opt-in: projector + both LayerNormND passes + pos-emb + CLS
+            # concat in one Pallas kernel (ops/fused_frontend.py).
+            # Measured 3.12 vs 3.42 ms XLA at batch 256
+            # (PROBE_FRONTEND.jsonl) but its Mosaic compile is MINUTES
+            # through the tunnel (two bench runs blew their budgets) —
+            # a 9% prelude gain cannot buy that cold-compile cost in the
+            # serving path, so the XLA composition stays the default.
+            # Kept as a tested, measured opt-in.
+            from image2text_tpu.ops.fused_frontend import (
+                fused_frontend_compatible)
+
+            stream = fused_frontend_compatible(self, p, x)
+        if stream is not None:
+            x = stream  # dropout is an eval no-op on this path
+        else:
+            x = self.ln_input(p["ln_input"], self.projector(p["projector"], x))
+            pos = jnp.arange(self.n_patches ** 2)
+            wpe = self.transformer._children["wpe"]
+            pos_emb = wpe(p["transformer"]["wpe"], pos)[None]
+            y = x + pos_emb.astype(x.dtype)
+            cls = jnp.broadcast_to(p["cls_token"].astype(x.dtype),
+                                   (n, self.n_cls, self.out_dim))
+            x = jnp.concatenate([cls, self.ln_input(p["ln_input"], y)], axis=1)
+            x, ctx = dropout(x, self.dropout_rate, ctx)
         # lazy sparse layout: consecutive sparse blocks compose their static
         # gathers instead of reassembling canonical order per block (the
         # per-block combine permutation was 2.0-2.5 ms/block at batch 256,

@@ -133,3 +133,54 @@ def test_fused_sparse_block_bf16_and_decline():
     assert fused_sparse_block_compatible(blk, params,
                                          x.astype(jnp.float16), None,
                                          interpret=True) is None
+
+
+# -- round-5: fused encoder front-end ---------------------------------------
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_fused_frontend_matches_xla(dtype):
+    """Kernel == projector -> LN-ND -> +pos -> LN-ND -> [CLS; tokens]."""
+    from image2text_tpu.configs.models import (ImageInputSpec,
+                                               VisionTransformerEncoderConfig)
+    from image2text_tpu.models.encoder import VisionTransformerEncoder
+    from image2text_tpu.ops.fused_frontend import fused_frontend_compatible
+
+    cfg = VisionTransformerEncoderConfig(
+        transformer_config=TransformerConfig(
+            rotator_config=MoEConfig(num_experts=2, proj_features=8,
+                                     gate_sizes=[16], ff_mult_factor=2.0,
+                                     top_k=1),
+            attn_config=SelfAttentionConfig(
+                attn_type=SelfAttentionType.MULTI_QUERY, n_embd=128,
+                n_head=1, bias=False),
+            is_causal=False, is_cross_attn=False),
+        input=ImageInputSpec(n_channels=3, width=32, height=32),
+        n_layer=1, n_cls=8, num_patches=4, n_channels=2)
+    enc = VisionTransformerEncoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0))
+    dt = jnp.dtype(dtype)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(dt)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(0.5 * rng.standard_normal((4, 16, enc.input_d)), dt)
+
+    # module-composed reference prelude
+    z = enc.ln_input(params["ln_input"],
+                     enc.projector(params["projector"], x))
+    wpe = enc.transformer._children["wpe"]
+    pos = wpe(params["transformer"]["wpe"], jnp.arange(16))[None]
+    y = z + pos.astype(z.dtype)
+    cls = jnp.broadcast_to(params["cls_token"].astype(z.dtype), (4, 8, 128))
+    ref = jnp.concatenate([cls, enc.ln_input(params["ln_input"], y)], axis=1)
+
+    out = fused_frontend_compatible(enc, params, x, interpret=True)
+    assert out is not None and out.shape == (4, 24, 128)
+    tol = 3e-5 if dtype == "float32" else 0.05
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)
+    # fp16 declines
+    assert fused_frontend_compatible(enc, params,
+                                     x.astype(jnp.float16),
+                                     interpret=True) is None
