@@ -172,9 +172,18 @@ def gathered_top_k(logits: jax.Array, k: int,
         # -1e38 is finite in bf16 (max finite ~3.39e38)
         fmin = jnp.asarray(-1e38, blocks.dtype)
         oh = jax.nn.one_hot(bidx, c, dtype=blocks.dtype)       # (..., k, C)
+        # HIGHEST's multi-pass mantissa reconstruction is only needed for
+        # f32 operands (the MXU truncates them to bf16 at default
+        # precision); bf16 inputs are selection-exact at DEFAULT — one
+        # pass instead of three, and this einsum is the sampler's largest
+        # single stage at serving batch (0.42 of 1.70 ms at batch 1024,
+        # PROBE_SAMPLER.jsonl round-5 row)
+        prec = (jax.lax.Precision.HIGHEST
+                if blocks.dtype == jnp.float32 else
+                jax.lax.Precision.DEFAULT)
         gathered = jnp.einsum("...kc,...cw->...kw", oh,
                               jnp.maximum(blocks, fmin),
-                              precision=jax.lax.Precision.HIGHEST)
+                              precision=prec)
         gathered = jnp.where(gathered <= fmin,
                              jnp.asarray(NEG_INF, gathered.dtype), gathered)
     else:
