@@ -110,10 +110,6 @@ def quantize_nf4(w: np.ndarray, double_quant: bool = False
     return out
 
 
-_COMPANIONS = ("absmax", "quant_map", "nested_absmax", "nested_quant_map",
-               "quant_state.bitsandbytes__nf4", "quant_state.bitsandbytes__fp4")
-
-
 def convert_bnb_nf4_state_dict(sd: Mapping[str, np.ndarray],
                                shapes: Mapping[str, tuple] = None
                                ) -> Dict[str, np.ndarray]:
@@ -121,10 +117,10 @@ def convert_bnb_nf4_state_dict(sd: Mapping[str, np.ndarray],
 
     Quantized entries are detected by the ``<name>.absmax`` companion key
     (the layout ``save_pretrained`` emits for Linear4bit modules).  The
-    original (out, in) shape comes from ``shapes[<name>]`` when given,
-    else from ``<name>.quant_state...``'s serialized shape when present,
-    else the tensor is left packed (caller error).  Non-quantized entries
-    pass through untouched."""
+    original (out, in) shape must come from ``shapes[<name>]`` (bnb
+    flattens row-major, so the codes alone cannot recover it) — a
+    missing shape raises.  Non-quantized entries pass through
+    untouched."""
     out: Dict[str, np.ndarray] = {}
     quantized = {k[:-len(".absmax")] for k in sd if k.endswith(".absmax")}
     for k, v in sd.items():
@@ -145,8 +141,10 @@ def convert_bnb_nf4_state_dict(sd: Mapping[str, np.ndarray],
             if shapes and base in shapes:
                 shape = shapes[base]
             else:
-                n2 = np.asarray(v).size * 2
-                shape = (n2,)  # caller reshapes; better than failing
+                raise ValueError(
+                    f"quantized tensor {base!r} needs its original shape: "
+                    "pass shapes={name: (out, in)} (bnb packs row-major, "
+                    "so the flat codes alone cannot recover it)")
             out[k] = dequantize_nf4(v, group, shape)
         # companion keys are consumed silently
     return out
